@@ -1,0 +1,129 @@
+"""Flax layer wrappers around the fused conv ops.
+
+The reference wraps Open3D's ops in Keras layers (utils/convolutions.py:34);
+here the parameters (filter arrays) live in flax modules while the math stays
+in ``dmcf_tpu.ops`` pure functions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (build_circular_kernel, build_symmetric_kernel,
+                   continuous_conv)
+from ..ops.neighbors import NeighborList
+
+
+def _uniform_init(scale=0.05):
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+    return init
+
+
+class ContinuousConv(nn.Module):
+    """Continuous convolution layer (reference utils/convolutions.py:34-473).
+
+    Kernel variants:
+      * dense: [kz, ky, kx, Cin, Cout] parameter.
+      * symmetric (ASCC): parameter is the half kernel along ``sym_axis``;
+        the full antisymmetric kernel is built at call time and the self term
+        is fused into the conv (momentum-conserving output layer).
+      * circular: parameter is a radial stack; expanded to the cube by
+        max-|coordinate| gather.
+
+    The layer takes a precomputed ``NeighborList`` — neighbor searches are
+    hoisted out so one search is shared by all convs over the same point-set
+    pair per step (the reference re-searches per conv call; see SURVEY §7).
+    """
+
+    filters: int
+    kernel_size: Sequence[int]
+    activation: Optional[Callable] = None
+    use_bias: bool = True
+    align_corners: bool = True
+    coordinate_mapping: str = "ball_to_cube_volume_preserving"
+    interpolation: str = "linear"
+    normalize: bool = False
+    window_function: Optional[Callable] = None
+    symmetric: bool = False
+    sym_axis: int = 2
+    circular: bool = False
+    kernel_init: Callable = _uniform_init()
+
+    @nn.compact
+    def __call__(self,
+                 inp_features,
+                 inp_positions,
+                 out_positions,
+                 extents,
+                 neighbors: NeighborList,
+                 inp_importance=None,
+                 query_features=None):
+        cin = inp_features.shape[-1]
+        ks = tuple(int(k) for k in self.kernel_size)
+
+        if self.circular:
+            r = int(np.ceil(max(ks) / 2))
+            radial = self.param("kernel", self.kernel_init,
+                                (r, cin, self.filters))
+            kernel = build_circular_kernel(radial, ks,
+                                           symmetric=self.symmetric)
+        elif self.symmetric:
+            assert ks[self.sym_axis] % 2 == 0, \
+                "symmetric kernel size must be even along sym_axis"
+            half = list(ks)
+            half[self.sym_axis] //= 2
+            half_kernel = self.param("kernel", self.kernel_init,
+                                     (*half, cin, self.filters))
+            kernel = build_symmetric_kernel(half_kernel, self.sym_axis)
+        else:
+            kernel = self.param("kernel", self.kernel_init,
+                                (*ks, cin, self.filters))
+
+        symmetric_conv = self.symmetric and not self.circular
+        out = continuous_conv(
+            kernel,
+            out_positions,
+            inp_positions,
+            inp_features,
+            neighbors,
+            extents,
+            window_fn=self.window_function,
+            coordinate_mapping=self.coordinate_mapping,
+            interpolation=self.interpolation,
+            align_corners=self.align_corners,
+            normalize=self.normalize,
+            inp_importance=inp_importance,
+            symmetric=symmetric_conv,
+            query_features=(query_features if query_features is not None
+                            else (inp_features if symmetric_conv else None)),
+        )
+
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.filters,))
+            out = out + bias
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+class Dense(nn.Module):
+    """Per-point dense layer (glorot uniform, like keras Dense defaults)."""
+
+    units: int
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.units, use_bias=self.use_bias,
+                     kernel_init=nn.initializers.glorot_uniform())(x)
+        if self.activation is not None:
+            y = self.activation(y)
+        return y

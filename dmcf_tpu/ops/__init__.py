@@ -1,0 +1,34 @@
+from .cconv import (build_circular_kernel, build_symmetric_kernel,
+                    continuous_conv, point_sampling, reduce_neighbor_count)
+from .neighbors import NeighborList, fixed_radius_search, radius_search
+from .sph import (align_vector, compute_density, compute_pressure,
+                  compute_transformed_dx, farthest_point_sample,
+                  get_dilated_pos, grid_pos, masked_positions,
+                  pad_sentinel_positions, quat_conj, quat_mean, quat_mult,
+                  quat_rot)
+from .windows import get_window_func
+
+__all__ = [
+    "NeighborList",
+    "fixed_radius_search",
+    "radius_search",
+    "continuous_conv",
+    "point_sampling",
+    "reduce_neighbor_count",
+    "build_symmetric_kernel",
+    "build_circular_kernel",
+    "get_window_func",
+    "align_vector",
+    "compute_density",
+    "compute_pressure",
+    "compute_transformed_dx",
+    "farthest_point_sample",
+    "get_dilated_pos",
+    "grid_pos",
+    "masked_positions",
+    "pad_sentinel_positions",
+    "quat_conj",
+    "quat_mean",
+    "quat_mult",
+    "quat_rot",
+]

@@ -1,0 +1,170 @@
+"""Fixed-radius neighbor search with fixed-shape padded neighbor lists.
+
+TPU-native replacement for Open3D-ML's ``FixedRadiusSearch`` /
+``RadiusSearch`` (reference call sites: utils/convolutions.py:207-216,
+models/pointnet.py:131, utils/tools/losses.py:296).  Instead of the
+reference's ragged CSR lists (dynamic shapes => retrace pressure), we emit a
+padded ``[Q, K]`` neighbor index matrix plus validity mask — exact as long as
+K >= the true max neighbor count, which we expose via ``count`` so pipelines
+can track overflow (the analog of the reference's ``_avg_neighbors`` stat).
+
+The default implementation is a chunked brute-force scan: each chunk computes
+a dense [Q, C] distance block (pure VPU work that XLA tiles well) and folds it
+into a running top-K via ``lax.top_k``.  For the scene sizes of all shipped
+configs (1e3..1e5 points) this is fast on TPU and fully static; a Pallas
+cell-list kernel can swap in underneath without changing the interface.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+_FILL = jnp.inf
+
+
+class NeighborList(NamedTuple):
+    """Padded fixed-K neighbor list.
+
+    idx:   [Q, K] int32 indices into the point array (0 where invalid).
+    mask:  [Q, K] bool validity.
+    dist:  [Q, K] squared distance for metric L2, plain distance for L1/Linf
+           (matching Open3D's return_distances convention); 0 where invalid.
+    count: [Q] int32 true number of in-radius neighbors (before K capping);
+           count > K indicates overflow (lost neighbors).
+    """
+
+    idx: jax.Array
+    mask: jax.Array
+    dist: jax.Array
+    count: jax.Array
+
+    @property
+    def overflow(self):
+        return self.count > self.idx.shape[-1]
+
+
+def _pairwise_dist(queries, points, metric):
+    d = queries[:, None, :] - points[None, :, :]
+    if metric == "L2":
+        return jnp.sum(d * d, axis=-1)
+    if metric == "L1":
+        return jnp.sum(jnp.abs(d), axis=-1)
+    if metric == "Linf":
+        return jnp.max(jnp.abs(d), axis=-1)
+    raise NotImplementedError(f"unknown metric: {metric}")
+
+
+def fixed_radius_search(points,
+                        queries,
+                        radius,
+                        k,
+                        points_mask=None,
+                        queries_mask=None,
+                        metric: str = "L2",
+                        ignore_query_point: bool = False,
+                        chunk: int = 4096) -> NeighborList:
+    """All points within ``radius`` of each query, capped at K per query.
+
+    Args:
+      points: [N, 3] candidate positions (padded entries masked out via
+        ``points_mask``).
+      queries: [Q, 3] query positions.
+      radius: scalar search radius.  For metric 'L2' the comparison and the
+        returned distances are *squared* (Open3D convention).
+      k: static max neighbors per query.
+      ignore_query_point: drop candidates coinciding exactly with the query
+        position (Open3D ``ignore_query_point`` semantics).
+    """
+    n = points.shape[0]
+    q = queries.shape[0]
+    radius = jnp.asarray(radius, dtype=points.dtype)
+    thresh = radius * radius if metric == "L2" else radius
+
+    chunk = min(chunk, max(n, 1))
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    if n_pad != n:
+        points = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+        pm = jnp.zeros((n_pad,), bool).at[:n].set(
+            True if points_mask is None else points_mask)
+    else:
+        pm = (jnp.ones((n,), bool)
+              if points_mask is None else points_mask.astype(bool))
+
+    points_r = points.reshape(n_chunks, chunk, 3)
+    pm_r = pm.reshape(n_chunks, chunk)
+
+    def body(carry, inp):
+        best_d, best_i, count = carry
+        pts, mask_c, base = inp
+        d = _pairwise_dist(queries, pts, metric)  # [Q, C]
+        valid = (d <= thresh) & mask_c[None, :]
+        if ignore_query_point:
+            valid &= d > 0
+        count = count + jnp.sum(valid, axis=1, dtype=jnp.int32)
+        d_m = jnp.where(valid, d, _FILL)
+        idx_c = base + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        cat_d = jnp.concatenate([best_d, d_m], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx_c, d.shape)],
+                                axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        best_d = -neg_top
+        best_i = jnp.take_along_axis(cat_i, arg, axis=1)
+        return (best_d, best_i, count), None
+
+    init = (jnp.full((q, k), _FILL, dtype=points.dtype),
+            jnp.zeros((q, k), jnp.int32), jnp.zeros((q,), jnp.int32))
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+    (best_d, best_i, count), _ = jax.lax.scan(body, init,
+                                              (points_r, pm_r, bases))
+
+    mask = jnp.isfinite(best_d)
+    if queries_mask is not None:
+        qm = queries_mask.astype(bool)
+        mask &= qm[:, None]
+        count = jnp.where(qm, count, 0)
+    idx = jnp.where(mask, best_i, 0)
+    dist = jnp.where(mask, best_d, 0.0)
+    return NeighborList(idx=idx, mask=mask, dist=dist, count=count)
+
+
+def radius_search(points,
+                  queries,
+                  radii,
+                  k,
+                  points_mask=None,
+                  queries_mask=None,
+                  metric: str = "L2",
+                  ignore_query_point: bool = False,
+                  normalize_distances: bool = True) -> NeighborList:
+    """Per-query-radius variant (Open3D ``RadiusSearch``).
+
+    Brute force over all points (this path is only used when ``extents`` is
+    rank-1, which no shipped config exercises).  Distances are optionally
+    normalized by the per-query radius (squared for L2), matching Open3D's
+    ``normalize_distances``.
+    """
+    d = _pairwise_dist(queries, points, metric)  # [Q, N]
+    radii = jnp.asarray(radii)
+    thresh = radii * radii if metric == "L2" else radii
+    valid = d <= thresh[:, None]
+    if points_mask is not None:
+        valid &= points_mask.astype(bool)[None, :]
+    if queries_mask is not None:
+        valid &= queries_mask.astype(bool)[:, None]
+    if ignore_query_point:
+        valid &= d > 0
+    count = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    if normalize_distances:
+        d = d / jnp.maximum(thresh[:, None], 1e-20)
+    d_m = jnp.where(valid, d, _FILL)
+    neg_top, idx = jax.lax.top_k(-d_m, k)
+    best_d = -neg_top
+    mask = jnp.isfinite(best_d)
+    idx = jnp.where(mask, idx, 0)
+    dist = jnp.where(mask, best_d, 0.0)
+    return NeighborList(idx=idx.astype(jnp.int32), mask=mask, dist=dist,
+                        count=count)

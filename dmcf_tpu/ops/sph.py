@@ -1,0 +1,296 @@
+"""SPH math and multi-scale pooling ops with fixed shapes.
+
+TPU-native equivalents of the reference's utils/tools/losses.py helpers:
+``compute_density`` (:287), ``compute_pressure`` (:367), voxel ``grid_pos``
+(:136), ``subsample``/``get_dilated_pos`` (:215/:249), quaternion helpers and
+``compute_transformed_dx`` (:311-364), and the CUDA ``farthest_point_sample``
+(utils/tools/sampling.cu:125-190).
+
+All functions take/return padded arrays + masks + counts; padded entries sit
+at a far sentinel position so they never enter any neighborhood.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .neighbors import fixed_radius_search
+
+PAD_POS = 1e8  # sentinel coordinate for padded particles
+_KEY_SENTINEL = np.iinfo(np.int32).max
+
+
+def pad_sentinel_positions(n, start=0.0, dtype=jnp.float32):
+    """Spread-out sentinel positions so padded points have no neighbors
+    (not even each other)."""
+    i = jnp.arange(n, dtype=dtype)
+    out = jnp.stack([PAD_POS + start + i * 1e3,
+                     jnp.zeros_like(i), jnp.zeros_like(i)], axis=-1)
+    return out
+
+
+def masked_positions(pos, mask):
+    """Replace invalid rows with spread sentinel positions."""
+    sent = pad_sentinel_positions(pos.shape[0], dtype=pos.dtype)
+    return jnp.where(mask[:, None], pos, sent)
+
+
+def compute_density(out_pos,
+                    in_pos,
+                    radius,
+                    win,
+                    out_mask=None,
+                    in_mask=None,
+                    k=64):
+    """SPH number density: sum of window over in-radius neighbors (self
+    included — reference utils/tools/losses.py:287-308 uses
+    ignore_query_point=False)."""
+    if win is None:
+        win = lambda x: x
+    nl = fixed_radius_search(in_pos, out_pos, radius, k,
+                             points_mask=in_mask, queries_mask=out_mask)
+    radius = jnp.asarray(radius, out_pos.dtype)
+    q = nl.dist / (radius * radius)
+    w = jnp.where(nl.mask, win(q), 0.0)
+    return jnp.sum(w, axis=1)
+
+
+def compute_pressure(dens, rest_dens=3.5, stiffness=20.0):
+    """Tait EOS (reference utils/tools/losses.py:367-377)."""
+    return jax.nn.relu(stiffness * ((dens / rest_dens) ** 7 - 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Voxel grid pooling (fixed-shape unique)
+# ---------------------------------------------------------------------------
+
+
+def grid_pos(pos,
+             mask,
+             voxel_size,
+             out_max,
+             centralize=False,
+             pad=0,
+             hyst=0.1):
+    """Occupied-voxel centers of a point set, padded to ``out_max``.
+
+    Fixed-shape reimplementation of reference ``grid_pos``
+    (utils/tools/losses.py:136-181): each point stamps the voxels around it
+    (hysteresis duplication +/-hyst plus a (2+2*pad)^d offset neighborhood on
+    active axes), duplicates are removed, and voxel centers are emitted.
+    ``voxel_size`` must be a static (python/numpy) 3-vector; axes with
+    voxel_size < 1e-5 are inactive (coordinate passes through as 0).
+
+    Returns (positions [out_max, 3], mask [out_max], count).
+    """
+    voxel_size = np.asarray(voxel_size, np.float32)
+    active = voxel_size >= 1e-5
+    vs = np.maximum(voxel_size, 1e-5)
+    n = pos.shape[0]
+    dtype = pos.dtype
+
+    if centralize:
+        denom = jnp.maximum(jnp.sum(mask), 1)
+        center = jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0) / denom
+        p = pos - center
+    else:
+        center = None
+        p = pos
+
+    base = p / vs
+    h = jnp.asarray(np.where(active, hyst, 0.0), dtype)
+    cand = jnp.concatenate([jnp.floor(base - h), jnp.floor(base + h)], axis=0)
+    cand = cand.astype(jnp.int32)  # [2N, 3]
+
+    # static offset neighborhood
+    ranges = [np.arange(-pad, 2 + pad) if a else np.arange(0, 1)
+              for a in active]
+    offs = np.stack(np.meshgrid(*ranges, indexing="ij"),
+                    axis=-1).reshape(-1, 3).astype(np.int32)
+    cells = (cand[:, None, :] + offs[None, :, :]).reshape(-1, 3)  # [M, 3]
+    cmask = jnp.repeat(jnp.concatenate([mask, mask]), offs.shape[0])
+
+    # linearize relative to the valid extent
+    big = jnp.iinfo(jnp.int32).max
+    cells_v = jnp.where(cmask[:, None], cells, big)
+    minp = jnp.min(cells_v, axis=0)
+    cells_v2 = jnp.where(cmask[:, None], cells, jnp.iinfo(jnp.int32).min)
+    maxp = jnp.max(cells_v2, axis=0)
+    dims = jnp.maximum(maxp - minp + 1, 1)
+    rel = jnp.clip(cells - minp, 0, dims - 1)
+    key = rel[:, 0] + rel[:, 1] * dims[0] + rel[:, 2] * dims[0] * dims[1]
+    key = jnp.where(cmask, key, _KEY_SENTINEL)
+
+    # sort, flag first occurrences, compact to the front
+    order = jnp.argsort(key)
+    skey = key[order]
+    scells = cells[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    uniq = first & (skey != _KEY_SENTINEL)
+    count = jnp.sum(uniq, dtype=jnp.int32)
+    # stable sort by ~uniq brings unique entries to the front
+    order2 = jnp.argsort(jnp.logical_not(uniq), stable=True)[:out_max]
+    out_cells = scells[order2]
+    out_mask = uniq[order2]
+
+    vsd = jnp.asarray(voxel_size, dtype)
+    if centralize:
+        gp = out_cells.astype(dtype) * vsd + center
+    else:
+        gp = out_cells.astype(dtype) * vsd + vsd / 2.0
+    gp = masked_positions(gp, out_mask)
+    return gp, out_mask, count
+
+
+def farthest_point_sample(pos, mask, sample_max, count=None):
+    """Iterative farthest point sampling, padded to ``sample_max`` points.
+
+    Reference CUDA op utils/tools/sampling.cu:125-190.  ``count`` is the
+    dynamic number of samples actually wanted (<= sample_max); the remainder
+    is masked out.  O(sample_max * N) with a fori_loop — acceptable as this
+    path is only taken when ``voxel_size`` is unset (no shipped config).
+    """
+    n = pos.shape[0]
+    if count is None:
+        count = sample_max
+    count = jnp.asarray(count, jnp.int32)
+
+    inf = jnp.asarray(jnp.inf, pos.dtype)
+    min_d = jnp.where(mask, inf, -inf)  # invalid points never selected
+
+    def body(i, carry):
+        min_d, idx = carry
+        cur = pos[idx[i - 1]]
+        d = jnp.sum((pos - cur) ** 2, axis=-1)
+        min_d = jnp.minimum(min_d, jnp.where(mask, d, -inf))
+        nxt = jnp.argmax(min_d)
+        idx = idx.at[i].set(nxt.astype(jnp.int32))
+        return (min_d, idx)
+
+    idx0 = jnp.zeros((sample_max,), jnp.int32)
+    # first sample: reference starts at index 0 (first valid point)
+    start = jnp.argmax(mask).astype(jnp.int32)
+    idx0 = idx0.at[0].set(start)
+    _, idx = jax.lax.fori_loop(1, sample_max, body, (min_d, idx0))
+    sel_mask = jnp.arange(sample_max) < count
+    return idx, sel_mask
+
+
+def get_dilated_pos(pos,
+                    mask,
+                    strides,
+                    out_maxes,
+                    voxel_size=None,
+                    centralize=False,
+                    pad=0,
+                    hyst=0.1):
+    """Multi-scale position pyramid (reference utils/tools/losses.py:249-284).
+
+    Returns (positions, masks, counts, idx) lists, one entry per stride.
+    ``out_maxes[s]`` is the static padded size of scale s.  With
+    ``voxel_size`` set, coarser scales are occupied voxel grids at
+    ``voxel_size * stride``; otherwise FPS indices into the previous scale.
+    """
+    ppos, pmask = pos, mask
+    pcount = jnp.sum(mask, dtype=jnp.int32)
+    positions, masks, counts, idx = [], [], [], []
+    for si, stride in enumerate(strides):
+        if stride == 1:
+            positions.append(pos)
+            masks.append(mask)
+            counts.append(pcount)
+            idx.append(None)
+        elif voxel_size is not None:
+            vs = np.asarray(voxel_size, np.float32) * stride
+            gp, gm, gc = grid_pos(pos, mask, vs, out_maxes[si],
+                                  centralize=centralize, pad=pad, hyst=hyst)
+            positions.append(gp)
+            masks.append(gm)
+            counts.append(gc)
+            idx.append(None)
+        else:
+            prev_pos, prev_mask = positions[-1], masks[-1]
+            cnt = jnp.maximum(counts[-1] // stride, 1)
+            sel, sel_mask = farthest_point_sample(prev_pos, prev_mask,
+                                                  out_maxes[si], cnt)
+            sp = masked_positions(prev_pos[sel], sel_mask)
+            positions.append(sp)
+            masks.append(sel_mask)
+            counts.append(cnt)
+            idx.append(sel)
+    return positions, masks, counts, idx
+
+
+# ---------------------------------------------------------------------------
+# Quaternions and equivariant displacement
+# ---------------------------------------------------------------------------
+
+
+def quat_mult(q, r):
+    w = r[..., 0] * q[..., 0] - r[..., 1] * q[..., 1] \
+        - r[..., 2] * q[..., 2] - r[..., 3] * q[..., 3]
+    x = r[..., 0] * q[..., 1] + r[..., 1] * q[..., 0] \
+        - r[..., 2] * q[..., 3] + r[..., 3] * q[..., 2]
+    y = r[..., 0] * q[..., 2] + r[..., 1] * q[..., 3] \
+        + r[..., 2] * q[..., 0] - r[..., 3] * q[..., 1]
+    z = r[..., 0] * q[..., 3] - r[..., 1] * q[..., 2] \
+        + r[..., 2] * q[..., 1] + r[..., 3] * q[..., 0]
+    return jnp.stack([w, x, y, z], axis=-1)
+
+
+def quat_conj(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def quat_rot(v, q):
+    r = jnp.concatenate([jnp.zeros_like(v[..., :1]), v], axis=-1)
+    return quat_mult(quat_mult(q, r), quat_conj(q))[..., 1:]
+
+
+def quat_mean(q0, q1):
+    return (q0 + q1) / jnp.sqrt(2.0 + 2.0 * jnp.sum(q0 * q1, axis=-1)
+                                )[..., None]
+
+
+def compute_transformed_dx(pos,
+                           mask,
+                           scale=None,
+                           rot=None,
+                           radius=0.005,
+                           k=64):
+    """Equivariant displacement field (reference utils/tools/losses.py:337-364):
+    mean over in-radius neighbors of (x_j - x_i), optionally rotated by the
+    averaged quaternion and scaled by the neighbor's predicted scale."""
+    nl = fixed_radius_search(pos, pos, radius, k, points_mask=mask,
+                             queries_mask=mask)
+    dx = pos[nl.idx] - pos[:, None, :]  # [N, K, 3]
+    dx = jnp.where(nl.mask[..., None], dx, 0.0)
+    if rot is not None:
+        nbr_rot = rot[nl.idx]
+        q = quat_mean(nbr_rot, rot[:, None, :])
+        dx = quat_rot(dx, q)
+    if scale is not None:
+        dx = dx * jnp.where(nl.mask[..., None], scale[nl.idx], 0.0)
+    denom = jnp.maximum(jnp.sum(nl.mask, axis=1), 1).astype(pos.dtype)
+    return jnp.sum(dx, axis=1) / denom[:, None]
+
+
+def align_vector(v0, v1):
+    """Rotation matrix aligning v0 to v1 (Rodrigues; reference
+    models/pbf_model.py:12-28).  Degenerate (parallel) case returns +/-I."""
+    v0n = v0 / (jnp.linalg.norm(v0) + 1e-9)
+    v1n = v1 / (jnp.linalg.norm(v1) + 1e-9)
+    v = jnp.cross(v0n, v1n)
+    c = jnp.dot(v0n, v1n)
+    s = jnp.linalg.norm(v)
+    vx = jnp.stack([
+        jnp.stack([jnp.zeros(()), -v[2], v[1]]),
+        jnp.stack([v[2], jnp.zeros(()), -v[0]]),
+        jnp.stack([-v[1], v[0], jnp.zeros(())]),
+    ])
+    eye = jnp.eye(3, dtype=v0.dtype)
+    r = eye + vx + vx @ vx / jnp.where(s < 1e-6, 1.0, 1.0 + c)
+    degenerate = eye * jnp.where(c < 0, -1.0, 1.0)
+    return jnp.where(s < 1e-6, degenerate, r)
