@@ -30,30 +30,46 @@ _EPS = 1e-12
 
 
 def map_ball_to_cube_radial(x, y, z):
-    """Radial stretch: scale by |p|_2 / |p|_inf (unit ball -> unit cube)."""
+    """Radial stretch: scale by |p|_2 / |p|_inf (unit ball -> unit cube).
+
+    NaN-safe under autodiff: the degenerate-origin branch guards the *inputs*
+    of sqrt/div (double-where), not just the output — ``jnp.where`` alone
+    still differentiates the untaken branch and poisons gradients at
+    coincident particle pairs.
+    """
     sq_norm = x * x + y * y + z * z
-    norm = jnp.sqrt(sq_norm)
+    zero = sq_norm < _EPS
+    norm = jnp.sqrt(jnp.where(zero, 1.0, sq_norm))
     linf = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
-    s = jnp.where(sq_norm < _EPS, 0.0, norm / jnp.maximum(linf, _EPS))
+    s = jnp.where(zero, 0.0, norm / jnp.where(zero, 1.0,
+                                              jnp.maximum(linf, _EPS)))
     return x * s, y * s, z * s
 
 
 def map_sphere_to_cylinder(x, y, z):
-    """Volume-preserving unit-ball -> unit-cylinder map (cylinder axis = z)."""
+    """Volume-preserving unit-ball -> unit-cylinder map (cylinder axis = z).
+
+    All degenerate denominators are guarded at the *input* of sqrt/div so
+    gradients stay finite at coincident pairs (see
+    map_ball_to_cube_radial docstring)."""
     sq_norm = x * x + y * y + z * z
-    norm = jnp.sqrt(sq_norm)
     rho_sq = x * x + y * y
     zero = sq_norm < _EPS
+    rho_zero = rho_sq < _EPS
     cone = (5.0 / 4.0) * z * z > rho_sq
 
+    norm = jnp.sqrt(jnp.where(zero, 1.0, sq_norm))
+
     # cone region (around the z axis)
-    s_cone = jnp.sqrt(3.0 * norm / jnp.maximum(norm + jnp.abs(z), _EPS))
+    s_cone = jnp.sqrt(3.0 * norm / jnp.where(zero, 1.0,
+                                             norm + jnp.abs(z)))
     x_cone = x * s_cone
     y_cone = y * s_cone
     z_cone = jnp.sign(z) * norm
 
     # side region
-    s_side = norm / jnp.maximum(jnp.sqrt(rho_sq), _EPS)
+    rho = jnp.sqrt(jnp.where(rho_zero, 1.0, rho_sq))
+    s_side = norm / jnp.where(rho_zero, 1.0, rho)
     x_side = x * s_side
     y_side = y * s_side
     z_side = z * (3.0 / 2.0)
@@ -65,10 +81,11 @@ def map_sphere_to_cylinder(x, y, z):
 
 
 def map_cylinder_to_cube(x, y, z):
-    """Area-preserving disc -> square map applied per z-slice."""
+    """Area-preserving disc -> square map applied per z-slice.  Degenerate
+    inputs guarded for autodiff (see map_ball_to_cube_radial)."""
     sq_norm = x * x + y * y
-    norm = jnp.sqrt(sq_norm)
     zero = sq_norm < _EPS
+    norm = jnp.sqrt(jnp.where(zero, 1.0, sq_norm))
     x_dom = x * x >= y * y
 
     four_over_pi = 4.0 / math.pi

@@ -14,28 +14,35 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _safe_sqrt(q):
+    """sqrt with finite gradient at q == 0 (d sqrt/dq -> inf there would
+    poison grads at coincident particle pairs; the 1e-12 floor changes
+    window values by < 1e-6)."""
+    return jnp.sqrt(jnp.maximum(q, 1e-12))
+
+
 def poly6(q, fac=1.0):
     return fac * jnp.clip((1.0 - q) ** 3, 0.0, 1.0)
 
 
 def cubic(q, fac=1.0):
-    q_sqrt = jnp.sqrt(q)
+    q_sqrt = _safe_sqrt(q)
     inner = jnp.where(q_sqrt <= 0.5, 6.0 * (q_sqrt**3 - q) + 1.0,
                       2.0 * (1.0 - q_sqrt) ** 3)
     return fac * (4.0 / 3.0) * jnp.where(q <= 1.0, inner, jnp.zeros_like(q))
 
 
 def linear(q, fac=1.0):
-    return fac * (1.0 - jnp.sqrt(q))
+    return fac * (1.0 - _safe_sqrt(q))
 
 
 def peak(q, fac=1.0):
-    q_sqrt = jnp.sqrt(q)
+    q_sqrt = _safe_sqrt(q)
     return fac * (1.0 - 2.0 * q_sqrt + q)
 
 
 def cubic_grad(q, fac=1.0):
-    q_sqrt = jnp.sqrt(q)
+    q_sqrt = _safe_sqrt(q)
     inner = jnp.where(q_sqrt <= 0.5, 18.0 * q - 12.0 * q_sqrt,
                       -6.0 * (1.0 - q_sqrt) ** 2)
     return fac * (4.0 / 3.0) * jnp.where(q <= 1.0, inner, jnp.zeros_like(q))

@@ -1,0 +1,635 @@
+"""Simulator pipeline: train / valid / test / rollout orchestration.
+
+Reference: pipelines/simulator.py:37-518.  TPU-first redesign:
+
+* The BPTT training step is ONE jitted function per (batch-shape, window,
+  warm-up, iterations) signature: warm-up runs under a vmapped
+  ``lax.while_loop`` with the reference's divergence guards
+  (simulator.py:335-356), the unrolled window is a ``lax.scan`` with
+  ``jax.checkpoint`` on the per-step model call, gradients/Adam update
+  included.  Curriculum changes (window/warm-up bounds) change static shapes
+  and recompile at boundaries only.
+* Test/valid rollouts run the whole horizon on device in a single
+  ``lax.scan`` — no host round-trip per frame (reference feeds frames back
+  through Python at simulator.py:99-106).
+* Batch items are vmapped fixed-shape padded samples, not a Python loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from datetime import datetime
+from functools import partial
+from glob import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import get_dataloader, get_rollout, pad_rollout_state, \
+    write_results
+from ..models.losses import density_loss, get_loss
+from ..ops.emd import emd_loss
+from ..ops.windows import get_window_func
+from .base import BasePipeline
+from .metrics import chamfer_distance, compare_dist, distance, merge_dicts
+
+log = logging.getLogger(__name__)
+
+
+def _clip_by_norm(g, norm):
+    n = jnp.sqrt(jnp.sum(g**2))
+    return jnp.where(n > norm, g * (norm / n), g)
+
+
+class Simulator(BasePipeline):
+    def __init__(self, model, dataset=None, name="Simulator",
+                 main_log_dir="./logs", device="tpu", split="train",
+                 **kwargs):
+        super().__init__(model=model, dataset=dataset, name=name,
+                         main_log_dir=main_log_dir, device=device,
+                         split=split, **kwargs)
+        self.loss_cfg = dict(self.cfg.get("loss_cfg") or {})
+        if not self.loss_cfg:
+            self.loss_cfg = {
+                "weighted_mse": {"typ": "weighted_mse", "fac": 1.0,
+                                 "gamma": 0.25, "neighbor_scale": 0.025}}
+        self.loss_fns = {k: get_loss(**dict(v))
+                         for k, v in self.loss_cfg.items()}
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # single-step / rollout inference
+    # ------------------------------------------------------------------
+
+    def _model_step(self, params, sample, training=False, vel_corr=None):
+        return self.model.apply(params, sample, training=training,
+                                vel_corr=vel_corr)
+
+    def _get_step_fn(self):
+        if "step" not in self._jit_cache:
+            self._jit_cache["step"] = jax.jit(
+                lambda params, s: self._model_step(params, s)[:2])
+        return self._jit_cache["step"]
+
+    def run_inference(self, state):
+        """One simulation step on a padded state dict."""
+        pos, vel = self._get_step_fn()(self.params, self._strip(state))
+        out = dict(state)
+        out["pos"], out["vel"] = pos, vel
+        return out
+
+    @staticmethod
+    def _strip(state):
+        return {k: state[k] for k in ("pos", "vel", "grav", "box",
+                                      "box_normals", "fluid_mask",
+                                      "box_mask")
+                if state.get(k) is not None}
+
+    def _get_rollout_fn(self, timesteps):
+        key = ("rollout", timesteps)
+        if key not in self._jit_cache:
+            def roll(params, state):
+                def body(carry, _):
+                    pos, vel = carry
+                    s = dict(state)
+                    s["pos"], s["vel"] = pos, vel
+                    p, v, _ = self._model_step(params, s)
+                    return (p, v), (p, v)
+                (_, _), (ps, vs) = jax.lax.scan(
+                    body, (state["pos"], state["vel"]), None,
+                    length=timesteps - 1)
+                ps = jnp.concatenate([state["pos"][None], ps], 0)
+                vs = jnp.concatenate([state["vel"][None], vs], 0)
+                return ps, vs
+            self._jit_cache[key] = jax.jit(roll)
+        return self._jit_cache[key]
+
+    def run_rollout(self, rollout_data, timesteps=2, bucket=64):
+        """Free rollout over full horizons, fully on device via lax.scan.
+        Returns per-sequence (positions [T,N,3], velocities) plus timing."""
+        results = []
+        timings = []
+        for data in rollout_data:
+            state = pad_rollout_state(data, bucket=bucket)
+            s0 = {k: (jnp.asarray(v) if v is not None else None)
+                  for k, v in state.items() if k != "n_fluid"}
+            s0_init = dict(s0)
+            s0_init["pos"] = jnp.asarray(state["pos"][0])
+            s0_init["vel"] = jnp.asarray(state["vel"][0])
+            if state["grav"] is not None:
+                s0_init["grav"] = jnp.asarray(state["grav"][0])
+            else:
+                s0_init["grav"] = None
+            s0_init["box"] = jnp.asarray(state["box"])
+            roll = self._get_rollout_fn(timesteps)
+            strip = self._strip(s0_init)
+            ps, vs = jax.block_until_ready(roll(self.params, strip))  # warm
+            t0 = time.time()
+            ps, vs = roll(self.params, strip)
+            jax.block_until_ready(ps)
+            dt = (time.time() - t0) / max(timesteps - 1, 1)
+            timings.append(dt)
+            n = state["n_fluid"]
+            results.append((np.asarray(ps)[:, :n], np.asarray(vs)[:, :n]))
+        log.info("Average runtime: {:.5f} s/step ({:.1f} steps/s)",
+                 float(np.mean(timings)), 1.0 / max(np.mean(timings), 1e-9))
+        self.last_steps_per_sec = 1.0 / max(float(np.mean(timings)), 1e-9)
+        return results
+
+    # ------------------------------------------------------------------
+    # test / valid
+    # ------------------------------------------------------------------
+
+    def run_test(self, epoch=None):
+        cfg = self.cfg
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        log_path = os.path.join(cfg.logs_dir, f"log_test_{timestamp}.txt")
+        log.info("Logging in file : {}", log_path)
+        log.addHandler(logging.FileHandler(log_path))
+
+        dg_cfg = dict(cfg.get("data_generator") or {})
+        test_cfg = dict(dg_cfg.pop("test", {}) or {})
+        dg_cfg.pop("train", None)
+        dg_cfg.pop("valid", None)
+        test_data = get_rollout(self.dataset.test, **dg_cfg, **test_cfg)
+
+        if epoch is None:
+            epoch = self.load_ckpt(self.model_cfg.get("ckpt_path"))
+        log.info("Started testing")
+
+        horizon = test_data[0]["pos"].shape[0]
+        results = self.run_rollout(test_data, horizon)
+
+        for i, (ps, vs) in enumerate(results):
+            data = test_data[i]
+            out_dir = os.path.join(cfg.out_dir, "visual", "%04d" % i)
+            os.makedirs(out_dir, exist_ok=True)
+            output = [
+                (ps, {"name": "pred", "type": "PARTICLE"}),
+                (data["pos"], {"name": "gt", "type": "PARTICLE"}),
+                (data["box"], {"name": "bnd", "type": "PARTICLE"}),
+            ]
+            path = os.path.join(out_dir, "%04d.hdf5" % epoch)
+            write_results(path, type(self.model).__name__, output)
+            for f in glob(os.path.join(out_dir, "*.hdf5")):
+                if f != path:
+                    os.remove(f)
+
+        if cfg.get("test_compute_metric", False):
+            self.run_valid(epoch)
+
+    def run_valid(self, epoch=None):
+        """Validation metric suite (reference pipelines/simulator.py:167-285):
+        mse, chamfer both directions, density / max-density, EMD,
+        velocity-distribution KL, single-step mse."""
+        cfg = self.cfg
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        log_path = os.path.join(cfg.logs_dir, f"log_valid_{timestamp}.txt")
+        log.info("Logging in file : {}", log_path)
+        log.addHandler(logging.FileHandler(log_path))
+
+        dg_cfg = dict(cfg.get("data_generator") or {})
+        valid_cfg = dict(dg_cfg.pop("valid", {}) or {})
+        dg_cfg.pop("train", None)
+        dg_cfg.pop("test", None)
+        valid_data = get_rollout(self.dataset.valid, **dg_cfg, **valid_cfg)
+
+        if epoch is None:
+            epoch = self.load_ckpt(self.model_cfg.get("ckpt_path"))
+        log.info("Started validation")
+
+        horizon = valid_data[0]["pos"].shape[0]
+        results = self.run_rollout(valid_data, horizon)
+
+        eval_stride = int(valid_cfg.get("eval_stride", 1))
+        radius0 = float(self.model.particle_radii[0])
+        split = cfg.get("split", "train")
+
+        emd_fn = self._jit_cache.setdefault(
+            "emd", jax.jit(lambda a, b: emd_loss(a, b)))
+        densl = jax.jit(partial(self._density_metrics, radius0=radius0))
+
+        losses = []
+        for i, data in enumerate(valid_data):
+            target_pos, target_vel = data["pos"], data["vel"]
+            box = data["box"]
+            ps, vs = results[i]
+            seq_losses = []
+            for t in range(1, target_pos.shape[0]):
+                if t % eval_stride != 0:
+                    continue
+                pos, vel = ps[t], vs[t]
+                if box.shape[0] > 0:
+                    pos = np.clip(pos, box.min(axis=0), box.max(axis=0))
+                entry = {}
+                entry["mse_val"] = float(np.mean(distance(target_pos[t],
+                                                          pos)))
+                entry["chamfer_val"] = float(np.mean(
+                    chamfer_distance(target_pos[t], pos)))
+                if split != "train":
+                    dens_v, maxd_v = densl(
+                        jnp.asarray(target_pos[t]), jnp.asarray(pos),
+                        jnp.asarray(box))
+                    entry["dens_val"] = float(dens_v)
+                    entry["max_dens_val"] = float(maxd_v)
+                    entry["chamfer_val_2"] = float(np.mean(
+                        chamfer_distance(pos, target_pos[t])))
+                    entry["emd"] = float(np.mean(np.asarray(
+                        emd_fn(jnp.asarray(target_pos[t][None]),
+                               jnp.asarray(pos[None])))))
+                    entry["vel_diff_val"] = float(
+                        compare_dist(target_vel[t], vel))
+                    entry["vel_diff_val_2"] = float(
+                        compare_dist(vel, target_vel[t]))
+
+                # single-step prediction from ground truth
+                single = self._single_step_from_gt(data, t)
+                entry["mse_single_val"] = float(np.mean(
+                    distance(target_pos[t], single)))
+
+                losses.append(entry)
+                seq_losses.append(entry)
+
+            if seq_losses:
+                mean_seq = merge_dicts(
+                    seq_losses, lambda x, y: x + y / len(seq_losses))
+                log.info("{} - {}", i, " ".join(
+                    "%s: %.5f" % (k, v) for k, v in mean_seq.items()))
+
+        loss = merge_dicts(losses, lambda x, y: x + y / max(len(losses), 1))
+        loss["loss"] = sum(loss.values())
+        log.info("validation of epoch {} - {} > loss: {:.5f}", epoch,
+                 " ".join("%s: %.5f" % (k, v) for k, v in loss.items()
+                          if k != "loss"), loss["loss"])
+        self.valid_loss = loss
+        return loss
+
+    def _density_metrics(self, gt, pred, box, radius0=0.01):
+        win_poly6 = get_window_func("poly6")
+        win_dens = get_window_func(
+            getattr(self.model, "window_dens", None))
+        n, nb = pred.shape[0], box.shape[0]
+        mask = jnp.ones((n,), bool)
+        bmask = jnp.ones((nb,), bool)
+        pred_all = jnp.concatenate([pred, box], 0)
+        gt_all = jnp.concatenate([gt, box], 0)
+        allmask = jnp.concatenate([mask, bmask], 0)
+        k = int(getattr(self.model, "neighbor_k", 64))
+        dens_v = density_loss(gt, pred, mask, mask, gt_in=pred_all,
+                              pred_in=gt_all, gt_in_mask=allmask,
+                              pred_in_mask=allmask, win=win_poly6, k=k,
+                              radius=0.005)
+        maxd_v = density_loss(pred, gt, mask, mask, gt_in=pred_all,
+                              pred_in=gt_all, gt_in_mask=allmask,
+                              pred_in_mask=allmask, radius=radius0,
+                              win=win_dens, use_max=True, k=k)
+        return dens_v, maxd_v
+
+    def _single_step_from_gt(self, data, t, bucket=64):
+        state = pad_rollout_state(
+            {**data, "pos": data["pos"][t - 1:t],
+             "vel": data["vel"][t - 1:t],
+             "grav": (data["grav"][t - 1:t]
+                      if data.get("grav") is not None else None)},
+            bucket=bucket)
+        s = {"pos": jnp.asarray(state["pos"][0]),
+             "vel": jnp.asarray(state["vel"][0]),
+             "box": jnp.asarray(state["box"]),
+             "box_normals": jnp.asarray(state["box_normals"]),
+             "fluid_mask": jnp.asarray(state["fluid_mask"]),
+             "box_mask": jnp.asarray(state["box_mask"])}
+        if state["grav"] is not None:
+            s["grav"] = jnp.asarray(state["grav"][0])
+        pos, vel = self._get_step_fn()(self.params, s)
+        return np.asarray(pos)[:state["n_fluid"]]
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def _make_lr_schedule(self, opt_cfg):
+        bounds = [int(b) for b in opt_cfg.get("lr_boundaries", [])]
+        values = [float(v) for v in opt_cfg.get("lr_values", [1e-3])]
+
+        def schedule(step):
+            step = jnp.asarray(step)
+            idx = jnp.sum(step >= jnp.asarray(bounds)) if bounds else 0
+            return jnp.asarray(values)[idx]
+        return schedule
+
+    def _get_optimizer(self):
+        opt_cfg = dict(self.cfg.get("optimizer") or {})
+        self.lr_schedule = self._make_lr_schedule(opt_cfg)
+        return optax.adam(self.lr_schedule, eps=1e-6)
+
+    def _loss_for_step(self, params, sample, target, target_prev, pre_eff,
+                       vel_iterations=0):
+        """Model step + loss dict (one unroll step of one batch item)."""
+        pos, vel, aux = self._model_step(params, sample, training=True)
+        losses = [self._eval_losses(sample, pos, vel, aux, target,
+                                    target_prev, pre_eff)]
+        for _ in range(1, max(vel_iterations, 1)):
+            pos, vel, aux = self._model_step(params, sample, training=True,
+                                             vel_corr=vel)
+            losses.append(self._eval_losses(sample, pos, vel, aux, target,
+                                            target_prev, pre_eff))
+        mean = {k: sum(d[k] for d in losses) / len(losses)
+                for k in losses[0]}
+        return pos, vel, mean
+
+    def _eval_losses(self, sample, pos, vel, aux, target, target_prev,
+                     pre_eff):
+        mask = sample["fluid_mask"]
+        out = {}
+        for name, fn in self.loss_fns.items():
+            out[name] = fn(
+                target, pos, mask,
+                num_fluid_neighbors=aux["num_fluid_neighbors"],
+                input_pos=sample["pos"], target_prev=target_prev,
+                pre_steps=pre_eff, pos_correction=aux["pos_correction"])
+        return out
+
+    def _make_train_step(self, window, its, max_err, max_dens_err):
+        """Build the jitted train step for a given static signature."""
+        model = self.model
+        w_decay = float(self.cfg.get("w_decay", 0) or 0)
+        grad_norm = float(self.cfg.get("grad_clip_norm", -1) or -1)
+        win_dens = get_window_func(getattr(model, "window_dens", None))
+        radius0 = float(model.particle_radii[0])
+        k = int(getattr(model, "neighbor_k", 64))
+        loss_keys = list(self.loss_fns.keys())
+
+        def warmup(params, item):
+            """Self-rollout warm-up with divergence guards (no grads)."""
+            pre = item["pre"]
+            base = {k2: item[k2] for k2 in ("box", "box_normals",
+                                            "fluid_mask", "box_mask")}
+            grav0 = item["grav"][0] if item.get("grav") is not None else None
+
+            def make_sample(pos, vel):
+                s = dict(base)
+                s["pos"], s["vel"] = pos, vel
+                if grav0 is not None:
+                    s["grav"] = grav0
+                return s
+
+            def cond(carry):
+                p, pos, vel, prev_err, prev_derr, stopped = carry
+                return jnp.logical_and(p < pre, jnp.logical_not(stopped))
+
+            def body(carry):
+                p, pos, vel, prev_err, prev_derr, stopped = carry
+                s = make_sample(pos, vel)
+                pos2, vel2, _ = model.apply(params, s, training=False)
+                diverged = jnp.asarray(False)
+                err = prev_err
+                derr = prev_derr
+                if max_err is not None:
+                    tgt = item["pos"][p]
+                    err = jnp.max(jnp.where(
+                        item["fluid_mask"],
+                        jnp.sum(jnp.abs(pos2 - tgt), -1), 0.0))
+                    diverged |= (p > 0) & (err > prev_err) & (err > max_err)
+                if max_dens_err is not None:
+                    tgt = item["pos"][p]
+                    fm = item["fluid_mask"]
+                    bm = item["box_mask"]
+                    allm = jnp.concatenate([fm, bm])
+                    derr = density_loss(
+                        pos2, tgt, fm, fm,
+                        gt_in=jnp.concatenate([pos2, item["box"]], 0),
+                        pred_in=jnp.concatenate([tgt, item["box"]], 0),
+                        gt_in_mask=allm, pred_in_mask=allm,
+                        radius=radius0, win=win_dens, use_max=True, k=k)
+                    diverged |= (p > 0) & (derr > prev_derr) & \
+                        (derr > max_dens_err)
+                # on divergence: stop WITHOUT committing this step
+                pos_n = jnp.where(diverged, pos, pos2)
+                vel_n = jnp.where(diverged, vel, vel2)
+                p_n = jnp.where(diverged, p, p + 1)
+                return (p_n, pos_n, vel_n, err, derr, diverged)
+
+            p0 = jnp.asarray(0, jnp.int32)
+            carry = (p0, item["pos"][0], item["vel"][0],
+                     jnp.asarray(0.0), jnp.asarray(0.0),
+                     jnp.asarray(False))
+            p, pos, vel, _, _, _ = jax.lax.while_loop(cond, body, carry)
+            # reference reports the final loop counter (simulator.py:359):
+            # pre-1 when completed, break-point otherwise
+            pre_eff = jnp.where(p == pre, jnp.maximum(pre - 1, 0), p)
+            return pos, vel, pre_eff
+
+        def per_item(params, item, pos0, vel0, pre_eff, time_w):
+            base = {k2: item[k2] for k2 in ("box", "box_normals",
+                                            "fluid_mask", "box_mask")}
+            grav0 = item["grav"][0] if item.get("grav") is not None else None
+
+            def step(carry, t):
+                pos, vel = carry
+                s = dict(base)
+                s["pos"], s["vel"] = pos, vel
+                if grav0 is not None:
+                    s["grav"] = grav0
+                target = jnp.take(item["pos"], t + pre_eff + 1, axis=0)
+                target_prev = jnp.take(item["pos"], t + pre_eff, axis=0)
+                pos2, vel2, losses = self._loss_for_step(
+                    params, s, target, target_prev, pre_eff,
+                    vel_iterations=its)
+                lvec = jnp.stack([losses[k2] for k2 in loss_keys])
+                return (pos2, vel2), lvec * time_w[t]
+
+            (pos, vel), lvecs = jax.lax.scan(
+                jax.checkpoint(step), (pos0, vel0),
+                jnp.arange(window))
+            return jnp.sum(lvecs, axis=0)
+
+        def train_step(params, opt_state, batch, time_w):
+            # warm-up self-rollout outside the differentiated region
+            # (reference runs it before the GradientTape,
+            # pipelines/simulator.py:320-361)
+            pos0, vel0, pre_eff = jax.vmap(
+                lambda item: warmup(params, item))(batch)
+            pos0 = jax.lax.stop_gradient(pos0)
+            vel0 = jax.lax.stop_gradient(vel0)
+
+            def loss_fn(params):
+                lvecs = jax.vmap(
+                    lambda item, p0, v0, pe: per_item(params, item, p0, v0,
+                                                      pe, time_w))(
+                    batch, pos0, vel0, pre_eff)
+                denom = jnp.sum(time_w) * lvecs.shape[0]
+                lvec = jnp.sum(lvecs, axis=0) / denom
+                total = jnp.sum(lvec)
+                if w_decay > 0:
+                    total = total + w_decay * sum(
+                        jnp.sum(w**2) for w in jax.tree.leaves(params))
+                return total, lvec
+
+            (total, lvec), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            if grad_norm > 0:
+                grads = jax.tree.map(
+                    lambda g: _clip_by_norm(g, grad_norm), grads)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, lvec, pre_eff
+
+        return jax.jit(train_step)
+
+    def _train_step_for(self, batch, window, its, max_err, max_dens_err):
+        shape_key = ("train", batch["pos"].shape, batch["box"].shape,
+                     window, its, max_err is not None,
+                     max_dens_err is not None)
+        if shape_key not in self._jit_cache:
+            self._jit_cache[shape_key] = self._make_train_step(
+                window, its, max_err, max_dens_err)
+        return self._jit_cache[shape_key]
+
+    @staticmethod
+    def _device_batch(batch):
+        out = {}
+        for k, v in batch.items():
+            if v is None:
+                continue
+            out[k] = jnp.asarray(v)
+        if "grav" not in batch or batch["grav"] is None:
+            out.pop("grav", None)
+        return out
+
+    def run_train(self):
+        cfg = self.cfg
+        dataset = self.dataset
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        log_path = os.path.join(cfg.logs_dir, f"log_train_{timestamp}.txt")
+        log.info("Logging in file : {}", log_path)
+        log.addHandler(logging.FileHandler(log_path))
+
+        dg_cfg = dict(cfg.get("data_generator") or {})
+        train_cfg = dict(dg_cfg.pop("train", {}) or {})
+        dg_cfg.pop("valid", None)
+        dg_cfg.pop("test", None)
+
+        windows = list(cfg.get("windows", [2]))
+        window_bnds = list(cfg.get("window_bnds", []))
+        max_warm_up = list(cfg.get("max_warm_up", [0]))
+        warm_up_bnds = list(cfg.get("warm_up_bnds", []))
+        iterations = list(cfg.get("iterations", [0]))
+        its_bnds = list(cfg.get("its_bnds", []))
+        time_blend = int(cfg.get("time_blend", 1))
+        max_err = cfg.get("max_err", None)
+        max_dens_err = cfg.get("max_dens_err", None)
+
+        def make_loader(window, warm):
+            return get_dataloader(dataset.train,
+                                  batch_size=int(cfg.batch_size),
+                                  window=window, pre_frames=warm,
+                                  **dg_cfg, **train_cfg)
+
+        window_it, warm_up_it, it_idx = 0, 0, 0
+        train_loader = make_loader(windows[0], max_warm_up[0])
+
+        self.optimizer = self._get_optimizer()
+        if self.params is None:
+            self.params = self._init_params(train_loader)
+        self.opt_state = self.optimizer.init(self.params)
+
+        is_resume = bool(self.model_cfg.get("is_resume", True))
+        start_ep = self.load_ckpt(self.model_cfg.get("ckpt_path"),
+                                  is_resume=is_resume)
+        if self.opt_state is None:
+            self.opt_state = self.optimizer.init(self.params)
+
+        log.info("Writing summary in {}.", self.tensorboard_dir)
+        log.info("Started training")
+
+        for epoch in range(start_ep, int(cfg.max_epoch) + 1):
+            log.info("=== EPOCH {}/{} ===", epoch, int(cfg.max_epoch))
+            for i in range(int(cfg.iter)):
+                step = epoch * int(cfg.iter) + i
+
+                rebuild = False
+                while window_it < min(len(windows) - 1, len(window_bnds)) \
+                        and step >= window_bnds[window_it]:
+                    window_it += 1
+                    rebuild = True
+                while warm_up_it < min(len(max_warm_up) - 1,
+                                       len(warm_up_bnds)) \
+                        and step >= warm_up_bnds[warm_up_it]:
+                    warm_up_it += 1
+                    rebuild = True
+                while it_idx < min(len(iterations) - 1, len(its_bnds)) \
+                        and step >= its_bnds[it_idx]:
+                    it_idx += 1
+                if rebuild:
+                    train_loader.close()
+                    train_loader = make_loader(windows[window_it],
+                                               max_warm_up[warm_up_it])
+
+                fetch_start = time.time()
+                batch = next(train_loader)
+                window = windows[window_it]
+
+                time_w = np.ones((window,), np.float32)
+                if window_it > 0:
+                    a = (step - window_bnds[window_it - 1] + 1) / time_blend
+                    if a < 1.0:
+                        diff = windows[window_it] - windows[window_it - 1]
+                        time_w[-diff:] = np.clip(
+                            a - np.arange(diff) / diff, 0.0, 1.0)
+
+                self.log_scalar_every_n_minutes(
+                    self.writer, step, 5, "DataLatency",
+                    time.time() - fetch_start)
+
+                dbatch = self._device_batch(batch)
+                train_step = self._train_step_for(
+                    batch, window, iterations[it_idx], max_err, max_dens_err)
+                self.params, self.opt_state, lvec, pre_eff = train_step(
+                    self.params, self.opt_state, dbatch,
+                    jnp.asarray(time_w))
+
+                if i == 0 and epoch == start_ep:
+                    self.log_param_count()
+
+                if i % int(cfg.get("log_every", 10)) == 0:
+                    lvec_np = np.asarray(lvec)
+                    losses = {k: float(v) for k, v in
+                              zip(self.loss_fns.keys(), lvec_np)}
+                    losses["loss"] = float(lvec_np.sum())
+                    losses["timesteps"] = float(time_w.sum())
+                    losses["warmup"] = float(np.mean(batch["pre"]))
+                    losses["warmup_diff"] = float(
+                        np.mean(batch["pre"] - np.asarray(pre_eff)))
+                    log.info("step {} - {}", step, " ".join(
+                        "%s: %.5f" % (k, v) for k, v in losses.items()))
+                    self.save_logs(self.writer, step, [losses], "train")
+
+            if epoch % int(cfg.get("save_ckpt_freq", 1)) == 0:
+                self.save_ckpt(epoch)
+
+            if cfg.get("run_valid_every_epoch", True):
+                self.run_valid(epoch)
+                self.save_logs(self.writer, epoch, [self.valid_loss],
+                               "valid")
+            if cfg.get("run_test_every_epoch", True):
+                self.run_test(epoch)
+
+        train_loader.close()
+
+    def _init_params(self, loader):
+        batch = next(loader)
+        sample = {k: jnp.asarray(v[0]) for k, v in batch.items()
+                  if v is not None and k not in ("pre",)}
+        sample["pos"] = sample["pos"][0]
+        sample["vel"] = sample["vel"][0]
+        if "grav" in sample:
+            sample["grav"] = sample["grav"][0]
+        init = jax.jit(lambda key, s: self.model.init(key, s,
+                                                      training=False))
+        return init(jax.random.PRNGKey(int(self.cfg.get("seed", 42))),
+                    sample)

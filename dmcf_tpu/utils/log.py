@@ -39,7 +39,10 @@ def get_runid(path):
 
 def setup_logging():
     logging.setLogRecordFactory(LogRecord)
+    # force=True: absl/tensorboard may already have installed root handlers,
+    # which would make a plain basicConfig a silent no-op
     logging.basicConfig(
         level=logging.INFO,
         format="%(levelname)s - %(asctime)s - %(module)s - %(message)s",
+        force=True,
     )

@@ -1,0 +1,188 @@
+"""Data subsystem tests: generators vs reference math, window sampling,
+padding/batching, rollout assembly, msgpack round-trip."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from dmcf_tpu.data import (Dataset, DatasetGroup, SPH1D, batch_samples,
+                           gen_column_data, gen_free_fall_data,
+                           get_dataloader, get_rollout, pad_rollout_state,
+                           read_msgpack_zst, write_msgpack_zst)
+from dmcf_tpu.data.dataflow import WindowSampler
+
+
+class TestSPH1D:
+    def test_density_at_rest(self):
+        """Rest-spaced column: density close to rest density away from the
+        free surface."""
+        solver = SPH1D()
+        solver.setup(10)
+        dens = solver.compute_dens()
+        assert abs(dens[len(dens) // 2] - solver.rest_dens) / \
+            solver.rest_dens < 0.1
+
+    def test_step_settles(self):
+        """Column under gravity: pressure projection caps compression."""
+        solver = SPH1D(gravity=-10.0, stiffness=20.0, visc=0.1)
+        solver.setup(10)
+        for _ in range(50):
+            solver.step(dt=0.0025)
+        dens = solver.compute_dens()
+        # density error bounded by the projection tolerance
+        assert np.max(dens[2:] - solver.rest_dens) < \
+            0.05 * solver.rest_dens + 1e-3
+        # boundary particles did not move
+        np.testing.assert_allclose(solver.particles[:2, 0],
+                                   [0.0, 0.5], atol=1e-6)
+
+    def test_momentum_free_column(self):
+        """Without gravity/boundary interaction the column stays put."""
+        solver = SPH1D(gravity=0.0, visc=0.0)
+        solver.setup(5)
+        x0 = solver.particles[:, 0].copy()
+        solver.step(dt=0.0025)
+        np.testing.assert_allclose(solver.particles[:, 0], x0, atol=1e-4)
+
+
+class TestGenerators:
+    def test_column_schema(self):
+        np.random.seed(42)
+        data = gen_column_data(2, 5, res=100, min_pts=1, max_pts=10,
+                               dt=0.0025)
+        assert len(data) == 2
+        frame = data[0][0]
+        for k in ("pos", "vel", "box", "box_normals", "grav", "frame_id",
+                  "scene_id"):
+            assert k in frame
+        assert frame["pos"].shape[-1] == 3
+        assert frame["box"].shape == (2, 3)
+        # 1D: only y is nonzero
+        assert np.all(frame["pos"][:, [0, 2]] == 0)
+        np.testing.assert_allclose(frame["grav"], [0, -10.0, 0])
+
+    def test_column_deterministic_under_seed(self):
+        np.random.seed(42)
+        a = gen_column_data(2, 3, min_pts=1, max_pts=10)
+        np.random.seed(42)
+        b = gen_column_data(2, 3, min_pts=1, max_pts=10)
+        np.testing.assert_array_equal(a[0][2]["pos"], b[0][2]["pos"])
+
+    def test_free_fall_analytic(self):
+        data = gen_free_fall_data(1, 10, res=100, dim=2, radius=10, dt=0.01,
+                                  gravity=-10.0)
+        f0, f5 = data[0][0], data[0][5]
+        # ballistic: y(t) = y0 + sum dt*v_i with v_i = -g*res*i*dt (mode 0)
+        t = 5
+        g = -10.0 * 100
+        expected_dy = sum(0.01 * (g * 0.01 * (i + 1))
+                          for i in range(t)) / 100
+        np.testing.assert_allclose(f5["pos"][:, 1] - f0["pos"][:, 1],
+                                   expected_dy, atol=1e-4)
+
+
+class TestDatasetGroup:
+    def test_generator_mode_with_cache(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = dict(name="col", type="column", res=100, gravity=-10.0,
+                       dt=0.0025, cache_dir=os.path.join(tmp, "cache"),
+                       train=dict(seed=42, min_pts=1, max_pts=5, data_cnt=2,
+                                  timesteps=5),
+                       valid=dict(seed=43, min_pts=1, max_pts=5, data_cnt=1,
+                                  timesteps=5),
+                       test=dict(seed=44, pts_cnt=[3], data_cnt=1,
+                                 timesteps=5))
+            dg = DatasetGroup(**cfg)
+            assert len(dg.train) == 2
+            assert len(dg.test) == 1
+            first = dg.train[0][0]["pos"].copy()
+            # second construction loads from cache, identical data
+            dg2 = DatasetGroup(**cfg)
+            np.testing.assert_array_equal(dg2.train[0][0]["pos"], first)
+
+    def test_msgpack_roundtrip(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "x.msgpack.zst")
+            data = [{"pos": np.random.rand(5, 3).astype(np.float32),
+                     "frame_id": 0}]
+            write_msgpack_zst(path, data, level=3)
+            back = read_msgpack_zst(path)
+            np.testing.assert_array_equal(back[0]["pos"], data[0]["pos"])
+
+
+def make_dataset(n_scenes=2, timesteps=20, n=6):
+    np.random.seed(0)
+    scenes = []
+    for s in range(n_scenes):
+        frames = []
+        for t in range(timesteps):
+            frames.append({
+                "frame_id": t,
+                "scene_id": f"s{s}",
+                "pos": np.random.rand(n, 3).astype(np.float32),
+                "vel": np.random.rand(n, 3).astype(np.float32),
+                "grav": np.array([0, -10.0, 0]),
+                "box": np.random.rand(4, 3).astype(np.float32),
+                "box_normals": np.zeros((4, 3), np.float32),
+            })
+        scenes.append(frames)
+    return Dataset(scenes)
+
+
+class TestWindowSampler:
+    def test_window_shapes(self):
+        ds = make_dataset()
+        ws = WindowSampler(ds, window=3, pre_frames=2, seed=0)
+        s = next(iter(ws))
+        t = s["pre"] + 4  # window+1 + pre
+        assert s["pos"].shape == (t, 6, 3)
+        assert s["grav"].shape == (t, 6, 3)
+        assert s["box"].shape == (4, 3)
+
+    def test_augment_translate_scale(self):
+        ds = make_dataset()
+        ws = WindowSampler(ds, window=1, translate=[1.0, 0, 0],
+                           scale=[2.0, 1.0, 1.0], seed=0)
+        raw = ds[0][0]["pos"]
+        s = next(iter(ws))
+        np.testing.assert_allclose(s["pos"][0, :, 0],
+                                   (raw[:, 0] + 1.0) * 2.0, atol=1e-6)
+
+    def test_grav_eqvar_rotates_gravity_to_target(self):
+        ds = make_dataset()
+        # tilt gravity
+        for scene in ds.data:
+            for f in scene:
+                f["grav"] = np.array([5.0, -5.0, 0.0])
+        ws = WindowSampler(ds, window=1, grav_eqvar=[0, -1, 0], seed=0)
+        s = next(iter(ws))
+        g = s["grav"][0, 0]
+        g = g / np.linalg.norm(g)
+        np.testing.assert_allclose(g, [0, -1, 0], atol=1e-5)
+
+
+class TestBatching:
+    def test_batch_padding(self):
+        ds = make_dataset()
+        loader = get_dataloader(ds, batch_size=2, window=2, pre_frames=1,
+                                repeat=False, bucket=8, seed=0)
+        batch = next(loader)
+        assert batch["pos"].shape[0] == 2
+        assert batch["pos"].shape[2] % 8 == 0
+        assert batch["fluid_mask"].sum(axis=1).tolist() == [6, 6]
+        assert batch["pos"].shape[1] == 1 + 2 + 1  # pre + window + 1
+        # padded particles sit far away
+        pads = batch["pos"][0, 0][~batch["fluid_mask"][0]]
+        assert np.all(pads[:, 0] > 1e7)
+        loader.close()
+
+    def test_rollout_assembly(self):
+        ds = make_dataset()
+        rollout = get_rollout(ds, time_start=2, time_end=10)
+        assert len(rollout) == 2
+        assert rollout[0]["pos"].shape[0] == 8
+        state = pad_rollout_state(rollout[0], bucket=8)
+        assert state["pos"].shape[1] % 8 == 0
+        assert state["n_fluid"] == 6

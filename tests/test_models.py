@@ -1,0 +1,158 @@
+"""Model-family tests: config -> module build, forward shapes, jit/vmap,
+padding invariance, SymNet momentum conservation."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from dmcf_tpu.models import build_model
+from dmcf_tpu.ops import masked_positions
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def make_sample(n=48, n_valid=40, b=24, b_valid=16, dim=2, seed=0,
+                with_grav=True):
+    rng = np.random.RandomState(seed)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:n_valid] = rng.uniform(-0.2, 0.2, (n_valid, 3))
+    vel = np.zeros((n, 3), np.float32)
+    vel[:n_valid] = rng.randn(n_valid, 3) * 0.01
+    box = np.zeros((b, 3), np.float32)
+    box[:b_valid] = rng.uniform(-0.3, 0.3, (b_valid, 3))
+    normals = np.zeros((b, 3), np.float32)
+    normals[:b_valid, 1] = 1.0
+    if dim < 3:
+        pos[:, dim:] = 0
+        vel[:, dim:] = 0
+        box[:, dim:] = 0
+    fluid_mask = np.arange(n) < n_valid
+    box_mask = np.arange(b) < b_valid
+    sample = {
+        "pos": jnp.asarray(masked_positions(jnp.asarray(pos),
+                                            jnp.asarray(fluid_mask))),
+        "vel": jnp.asarray(vel),
+        "box": jnp.asarray(box),
+        "box_normals": jnp.asarray(normals),
+        "fluid_mask": jnp.asarray(fluid_mask),
+        "box_mask": jnp.asarray(box_mask),
+    }
+    if with_grav:
+        g = np.zeros((n, 3), np.float32)
+        g[:, 1] = -9.81
+        sample["grav"] = jnp.asarray(g)
+    return sample
+
+
+def model_cfg(path):
+    with open(path) as f:
+        return yaml.safe_load(f)["model"]
+
+
+ALL_CONFIGS = sorted(
+    glob.glob(os.path.join(CONFIG_DIR, "*.yml"))
+    + glob.glob(os.path.join(CONFIG_DIR, "*", "*.yml")))
+
+
+class TestBuild:
+    @pytest.mark.parametrize("path", ALL_CONFIGS,
+                             ids=[os.path.basename(p) for p in ALL_CONFIGS])
+    def test_build_and_init(self, path):
+        cfg = model_cfg(path)
+        model = build_model(cfg)
+        sample = make_sample()
+        params = model.init(jax.random.PRNGKey(0), sample, training=False)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(params))
+        assert n_params > 0
+
+    def test_forward_shapes_and_finiteness(self):
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "column", "symnet.yml"))
+        model = build_model(cfg)
+        sample = make_sample(dim=1, seed=1)
+        params = model.init(jax.random.PRNGKey(0), sample, training=False)
+        pos, vel, aux = model.apply(params, sample, training=False)
+        assert pos.shape == sample["pos"].shape
+        assert vel.shape == sample["vel"].shape
+        fm = np.asarray(sample["fluid_mask"])
+        assert np.all(np.isfinite(np.asarray(pos)[fm]))
+        assert np.all(np.isfinite(np.asarray(vel)[fm]))
+        assert aux["num_fluid_neighbors"].shape == (48,)
+
+    def test_jit_and_vmap(self):
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg["neighbor_k"] = 32
+        model = build_model(cfg)
+        sample = make_sample(seed=2)
+        params = model.init(jax.random.PRNGKey(0), sample, training=False)
+
+        @jax.jit
+        def step(params, s):
+            return model.apply(params, s, training=False)
+
+        pos, vel, aux = step(params, sample)
+        assert np.all(np.isfinite(np.asarray(pos)[
+            np.asarray(sample["fluid_mask"])]))
+
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             make_sample(seed=3), make_sample(seed=4))
+        bpos, bvel, baux = jax.jit(jax.vmap(
+            lambda s: model.apply(params, s, training=False)))(batch)
+        assert bpos.shape[0] == 2
+
+
+class TestPaddingInvariance:
+    def test_more_padding_same_result(self):
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "column", "hrnet.yml"))
+        model = build_model(cfg)
+        s_small = make_sample(n=40, n_valid=32, b=16, b_valid=8, dim=1,
+                              seed=5)
+        params = model.init(jax.random.PRNGKey(0), s_small, training=False)
+        pos_a, vel_a, _ = model.apply(params, s_small, training=False)
+
+        s_big = make_sample(n=64, n_valid=32, b=32, b_valid=8, dim=1, seed=5)
+        # identical valid data (same seed => same first rows)
+        np.testing.assert_allclose(
+            np.asarray(s_small["pos"])[:32], np.asarray(s_big["pos"])[:32])
+        pos_b, vel_b, _ = model.apply(params, s_big, training=False)
+        np.testing.assert_allclose(np.asarray(pos_a)[:32],
+                                   np.asarray(pos_b)[:32], atol=1e-5)
+        # vel = d(pos)/dt amplifies fp32 reduction-order noise by 1/dt (=400)
+        np.testing.assert_allclose(np.asarray(vel_a)[:32],
+                                   np.asarray(vel_b)[:32], atol=5e-3)
+
+
+class TestMomentumConservation:
+    def test_symnet_correction_sums_to_zero_without_boundary(self):
+        """With no boundary particles, the ASCC position correction must sum
+        to ~0 over the fluid (the paper's momentum-conservation guarantee)."""
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "Liquid3d.yml"))
+        cfg["out_scale"] = [1.0, 1.0, 1.0]
+        model = build_model(cfg)
+        sample = make_sample(n=64, n_valid=64, b=8, b_valid=0, dim=3, seed=6)
+        params = model.init(jax.random.PRNGKey(1), sample, training=False)
+        _, _, aux = model.apply(params, sample, training=False)
+        corr = np.asarray(aux["pos_correction"])
+        total = np.abs(corr.sum(axis=0))
+        scale = np.abs(corr).sum() + 1e-12
+        assert np.all(total / scale < 1e-5), (total, scale)
+
+    def test_grads_flow(self):
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "column", "symnet.yml"))
+        model = build_model(cfg)
+        sample = make_sample(dim=1, seed=7)
+        params = model.init(jax.random.PRNGKey(0), sample, training=False)
+
+        def loss(p):
+            pos, vel, aux = model.apply(p, sample, training=True)
+            fm = sample["fluid_mask"][:, None]
+            return jnp.sum(jnp.where(fm, pos, 0.0) ** 2)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0

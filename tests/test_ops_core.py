@@ -327,6 +327,29 @@ class TestPointSampling:
 
 
 class TestGrads:
+    def test_grads_finite_at_coincident_pairs(self):
+        """Regression: ball->cube mappings / windows at rel==0 (self pairs)
+        must have finite gradients (jnp.where still differentiates the
+        untaken branch)."""
+        pts = rand_points(20, 50, scale=0.1)
+        pts[1] = pts[0]  # exact coincidence between distinct particles
+        feats = np.ones((20, 3), np.float32)
+        kernel = np.full((2, 2, 2, 3, 3), 0.1, np.float32)
+        nl = fixed_radius_search(jnp.asarray(pts), jnp.asarray(pts), 0.3,
+                                 k=32)  # self pairs INCLUDED
+
+        for mapping in ("ball_to_cube_radial",
+                        "ball_to_cube_volume_preserving"):
+            for wname in ("poly6", "peak", "linear", "cubic"):
+                def loss(x):
+                    y = continuous_conv(
+                        jnp.asarray(kernel), x, x, jnp.asarray(feats), nl,
+                        0.6, window_fn=get_window_func(wname),
+                        coordinate_mapping=mapping)
+                    return jnp.sum(y ** 2)
+                g = jax.grad(loss)(jnp.asarray(pts))
+                assert np.all(np.isfinite(np.asarray(g))), (mapping, wname)
+
     def test_conv_differentiable(self):
         rng = np.random.RandomState(40)
         pts = rand_points(30, 41, scale=0.4)
