@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Rollout throughput benchmark (the BASELINE.md headline metric).
+
+Measures steady-state simulation steps/sec of the flagship SymNet (DMCF)
+model on a WaterRamps-scale 2D scene (~2.3k fluid + ~0.5k boundary
+particles, 600-frame horizon — configs/WaterRamps.yml test protocol), with
+the whole rollout running on device as one lax.scan.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); we anchor to
+an estimated 20 steps/s for the TF/CUDA reference on this scene class (its
+per-step cost is dominated by ~50 FixedRadiusSearch+conv op launches; the
+paper-era GPU pipeline prints ~0.05 s/step scale numbers).  The driver's
+north star is >=5x that, i.e. vs_baseline >= 5.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
+HORIZON = 600
+
+
+def build_scene(n_fluid=2304, spacing=0.01, seed=0):
+    """Dam-break-like block resting on a ramped floor, GNS WaterRamps scale:
+    fluid at rest spacing, boundary = floor + two walls + a ramp."""
+    rng = np.random.RandomState(seed)
+    side = int(np.ceil(np.sqrt(n_fluid)))
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    pos = np.stack([xs.reshape(-1), ys.reshape(-1),
+                    np.zeros(side * side)], -1)[:n_fluid] * spacing
+    pos[:, 0] -= 0.45
+    pos[:, 1] -= 0.45
+    pos = pos + rng.normal(scale=spacing * 0.01, size=pos.shape)
+    pos[:, 2] = 0.0
+
+    # boundary: floor, walls, ramp
+    m = int(1.0 / spacing)
+    line = np.arange(m) * spacing - 0.5
+    floor = np.stack([line, np.full(m, -0.5), np.zeros(m)], -1)
+    left = np.stack([np.full(m, -0.5), line, np.zeros(m)], -1)
+    right = np.stack([np.full(m, 0.5), line, np.zeros(m)], -1)
+    ramp_x = np.arange(m // 2) * spacing
+    ramp = np.stack([ramp_x, -0.5 + ramp_x * 0.5,
+                     np.zeros(m // 2)], -1)
+    box = np.concatenate([floor, left, right, ramp], 0).astype(np.float32)
+    nrm = np.zeros_like(box)
+    nrm[:m, 1] = 1.0
+    nrm[m:2 * m, 0] = 1.0
+    nrm[2 * m:3 * m, 0] = -1.0
+    nrm[3 * m:, 1] = 1.0
+    return pos.astype(np.float32), box, nrm
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from dmcf_tpu.data.dataflow import pad_rollout_state
+    from dmcf_tpu.models import build_model
+
+    cfg = yaml.safe_load(open(
+        os.path.join(os.path.dirname(__file__) or ".",
+                     "configs/WaterRamps.yml")))["model"]
+    model = build_model(cfg)
+
+    pos, box, nrm = build_scene()
+    n = pos.shape[0]
+    data = {
+        "pos": pos[None], "vel": np.zeros_like(pos)[None],
+        "grav": np.broadcast_to(
+            np.array([0, -9.81, 0], np.float32), pos.shape)[None].copy(),
+        "box": box, "box_normals": nrm,
+    }
+    state = pad_rollout_state(data, bucket=128)
+    sample = {
+        "pos": jnp.asarray(state["pos"][0]),
+        "vel": jnp.asarray(state["vel"][0]),
+        "grav": jnp.asarray(state["grav"][0]),
+        "box": jnp.asarray(state["box"]),
+        "box_normals": jnp.asarray(state["box_normals"]),
+        "fluid_mask": jnp.asarray(state["fluid_mask"]),
+        "box_mask": jnp.asarray(state["box_mask"]),
+    }
+
+    params = jax.jit(lambda key, s: model.init(key, s, training=False))(
+        jax.random.PRNGKey(0), sample)
+
+    def rollout(params, s0, length):
+        def body(carry, _):
+            pos, vel = carry
+            s = dict(s0)
+            s["pos"], s["vel"] = pos, vel
+            p, v, _ = model.apply(params, s, training=False)
+            return (p, v), ()
+        (p, v), _ = jax.lax.scan(body, (s0["pos"], s0["vel"]), None,
+                                 length=length)
+        return p, v
+
+    roll = jax.jit(rollout, static_argnames=("length",))
+    # warm-up / compile
+    p, v = roll(params, sample, 10)
+    jax.block_until_ready(p)
+
+    t0 = time.time()
+    p, v = roll(params, sample, HORIZON)
+    jax.block_until_ready(p)
+    dt = time.time() - t0
+    steps_per_sec = HORIZON / dt
+
+    finite = bool(jnp.all(jnp.isfinite(p[np.asarray(
+        sample["fluid_mask"])])))
+    result = {
+        "metric": "WaterRamps_SymNet_rollout_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+        "detail": {
+            "horizon": HORIZON,
+            "n_fluid": n,
+            "n_boundary": int(box.shape[0]),
+            "ms_per_step": round(1000.0 * dt / HORIZON, 3),
+            "finite": finite,
+            "device": str(jax.devices()[0]),
+            "baseline_assumption_steps_per_sec": REFERENCE_STEPS_PER_SEC,
+        },
+    }
+    print(json.dumps(result))
+    # tunneled-TPU interpreters hang ~2min in atexit; skip it
+    sys.stdout.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

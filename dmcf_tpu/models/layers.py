@@ -113,6 +113,138 @@ class ContinuousConv(nn.Module):
         return out
 
 
+class SparseConv(nn.Module):
+    """Voxel-grid sparse convolution (reference utils/convolutions.py:476-
+    675): points on a regular grid, Linf-radius search of
+    ``kernel_size * voxel_size * 0.51``, identity coordinate mapping,
+    nearest-neighbor interpolation.  Part of the layer-library surface; the
+    shipped models do not call it.
+    """
+
+    filters: int
+    kernel_size: Sequence[int]
+    activation: Optional[Callable] = None
+    use_bias: bool = True
+    normalize: bool = False
+    offset: Optional[Sequence[float]] = None
+    kernel_init: Callable = _uniform_init()
+    neighbor_k: int = 32
+
+    def _offset(self):
+        if self.offset is not None:
+            return np.asarray(self.offset, np.float32)
+        if self.kernel_size[0] % 2:
+            return np.zeros(3, np.float32)
+        return np.full(3, -0.5, np.float32)
+
+    @nn.compact
+    def __call__(self, inp_features, inp_positions, out_positions,
+                 voxel_size, inp_mask=None, out_mask=None,
+                 inp_importance=None):
+        from ..ops.neighbors import fixed_radius_search
+
+        cin = inp_features.shape[-1]
+        ks = tuple(int(k) for k in self.kernel_size)
+        kernel = self.param("kernel", self.kernel_init,
+                            (*ks, cin, self.filters))
+        offset = self._offset()
+        radius = ks[-1] * voxel_size * 0.51
+        nl = fixed_radius_search(
+            inp_positions, out_positions - offset * voxel_size, radius,
+            self.neighbor_k, points_mask=inp_mask, queries_mask=out_mask,
+            metric="Linf")
+        out = continuous_conv(
+            kernel, out_positions - offset * voxel_size, inp_positions,
+            inp_features, nl, voxel_size * ks[-1],
+            coordinate_mapping="identity",
+            interpolation="nearest_neighbor", align_corners=False,
+            normalize=self.normalize, inp_importance=inp_importance)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.filters,))
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+class SparseConvTranspose(nn.Module):
+    """Transposed voxel-grid sparse convolution (reference
+    utils/convolutions.py:678-886).  The reference searches out->inp then
+    CSR-inverts the list; here we search inp-queries over out-points and
+    invert the padded list with :func:`invert_neighbors_list`."""
+
+    filters: int
+    kernel_size: Sequence[int]
+    activation: Optional[Callable] = None
+    use_bias: bool = True
+    normalize: bool = False
+    offset: Optional[Sequence[float]] = None
+    kernel_init: Callable = _uniform_init()
+    neighbor_k: int = 32
+
+    def _offset(self):
+        if self.offset is not None:
+            return np.asarray(self.offset, np.float32)
+        if self.kernel_size[0] % 2:
+            return np.zeros(3, np.float32)
+        return np.full(3, -0.5, np.float32)
+
+    @nn.compact
+    def __call__(self, inp_features, inp_positions, out_positions,
+                 voxel_size, inp_mask=None, out_mask=None,
+                 out_importance=None):
+        from ..ops.neighbors import (fixed_radius_search,
+                                     invert_neighbors_list)
+
+        cin = inp_features.shape[-1]
+        ks = tuple(int(k) for k in self.kernel_size)
+        kernel = self.param("kernel", self.kernel_init,
+                            (*ks, cin, self.filters))
+        offset = self._offset()
+        radius = ks[-1] * voxel_size * 0.51
+        nl_inp = fixed_radius_search(
+            out_positions, inp_positions - offset * voxel_size, radius,
+            self.neighbor_k, points_mask=out_mask, queries_mask=inp_mask,
+            metric="Linf")
+        nl = invert_neighbors_list(nl_inp, out_positions.shape[0],
+                                   self.neighbor_k)
+        out = continuous_conv(
+            kernel, out_positions, inp_positions - offset * voxel_size,
+            inp_features, nl, voxel_size * ks[-1],
+            coordinate_mapping="identity",
+            interpolation="nearest_neighbor", align_corners=False,
+            normalize=self.normalize, inp_importance=out_importance)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.filters,))
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+class PointSampling(nn.Module):
+    """Windowed scatter/average between point sets (reference
+    utils/convolutions.py:888-1061) as a parameterless flax layer."""
+
+    window_function: Optional[Callable] = None
+    normalize: bool = True
+    neighbor_k: int = 32
+
+    @nn.compact
+    def __call__(self, inp_features, inp_positions, out_positions, extents,
+                 inp_mask=None, out_mask=None):
+        from ..ops import point_sampling
+        from ..ops.neighbors import fixed_radius_search
+
+        nl = fixed_radius_search(inp_positions, out_positions,
+                                 float(extents) / 2.0, self.neighbor_k,
+                                 points_mask=inp_mask,
+                                 queries_mask=out_mask)
+        return point_sampling(inp_features, nl, extents,
+                              window_fn=self.window_function,
+                              normalize=self.normalize)
+
+
 class Dense(nn.Module):
     """Per-point dense layer (glorot uniform, like keras Dense defaults)."""
 

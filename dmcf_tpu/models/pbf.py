@@ -489,10 +489,16 @@ class PBFNet(nn.Module):
         pos_out, vel_out = self.compute_new_pos_vel(pos, vel, pos2, vel2,
                                                     pos_correction)
 
+        # neighbor stats: the analog of the reference's per-conv
+        # _avg_neighbors debug stat (utils/convolutions.py:384-388); also
+        # feeds padded-K bucket monitoring (overflow = lost neighbors)
+        n_valid = jnp.maximum(jnp.sum(ctx["all_mask"]), 1)
         aux = {
             "num_fluid_neighbors": num_fluid_neighbors,
             "pos_correction": pos_correction,
             "neighbor_overflow": jnp.max(ctx["nl_all0"].count),
+            "avg_neighbors": jnp.sum(jnp.where(
+                ctx["all_mask"], ctx["nl_all0"].count, 0)) / n_valid,
             "scale_counts": jnp.stack([jnp.asarray(c, jnp.int32)
                                        for c in ctx["dilated_count"]]),
         }

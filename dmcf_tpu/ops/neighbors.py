@@ -131,6 +131,40 @@ def fixed_radius_search(points,
     return NeighborList(idx=idx, mask=mask, dist=dist, count=count)
 
 
+def invert_neighbors_list(nl: NeighborList, num_points: int,
+                          k_out: int) -> NeighborList:
+    """Transpose a padded neighbor list: for each input point, the output
+    points that reference it (TPU-native equivalent of Open3D's CSR
+    ``invert_neighbors_list``, reference utils/convolutions.py:844).
+
+    Sort-based, fixed shapes: pairs are sorted by input index; each input's
+    run of pairs becomes its padded row (capped at ``k_out``; the true count
+    is returned for overflow tracking).
+    """
+    q, k = nl.idx.shape
+    flat_idx = jnp.where(nl.mask, nl.idx, num_points).reshape(-1)
+    rows = (jnp.arange(q * k, dtype=jnp.int32) // k)
+    dists = nl.dist.reshape(-1)
+
+    order = jnp.argsort(flat_idx)
+    sorted_idx = flat_idx[order]
+    sorted_rows = rows[order]
+    sorted_dist = dists[order]
+
+    targets = jnp.arange(num_points)
+    starts = jnp.searchsorted(sorted_idx, targets, side="left")
+    ends = jnp.searchsorted(sorted_idx, targets, side="right")
+    counts = (ends - starts).astype(jnp.int32)
+
+    gather = starts[:, None] + jnp.arange(k_out)[None, :]
+    valid = jnp.arange(k_out)[None, :] < counts[:, None]
+    gather = jnp.clip(gather, 0, q * k - 1)
+    out_idx = jnp.where(valid, sorted_rows[gather], 0)
+    out_dist = jnp.where(valid, sorted_dist[gather], 0.0)
+    return NeighborList(idx=out_idx.astype(jnp.int32), mask=valid,
+                        dist=out_dist, count=counts)
+
+
 def radius_search(points,
                   queries,
                   radii,

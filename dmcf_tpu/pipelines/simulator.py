@@ -326,160 +326,12 @@ class Simulator(BasePipeline):
         self.lr_schedule = self._make_lr_schedule(opt_cfg)
         return optax.adam(self.lr_schedule, eps=1e-6)
 
-    def _loss_for_step(self, params, sample, target, target_prev, pre_eff,
-                       vel_iterations=0):
-        """Model step + loss dict (one unroll step of one batch item)."""
-        pos, vel, aux = self._model_step(params, sample, training=True)
-        losses = [self._eval_losses(sample, pos, vel, aux, target,
-                                    target_prev, pre_eff)]
-        for _ in range(1, max(vel_iterations, 1)):
-            pos, vel, aux = self._model_step(params, sample, training=True,
-                                             vel_corr=vel)
-            losses.append(self._eval_losses(sample, pos, vel, aux, target,
-                                            target_prev, pre_eff))
-        mean = {k: sum(d[k] for d in losses) / len(losses)
-                for k in losses[0]}
-        return pos, vel, mean
-
-    def _eval_losses(self, sample, pos, vel, aux, target, target_prev,
-                     pre_eff):
-        mask = sample["fluid_mask"]
-        out = {}
-        for name, fn in self.loss_fns.items():
-            out[name] = fn(
-                target, pos, mask,
-                num_fluid_neighbors=aux["num_fluid_neighbors"],
-                input_pos=sample["pos"], target_prev=target_prev,
-                pre_steps=pre_eff, pos_correction=aux["pos_correction"])
-        return out
-
     def _make_train_step(self, window, its, max_err, max_dens_err):
-        """Build the jitted train step for a given static signature."""
-        model = self.model
-        w_decay = float(self.cfg.get("w_decay", 0) or 0)
-        grad_norm = float(self.cfg.get("grad_clip_norm", -1) or -1)
-        win_dens = get_window_func(getattr(model, "window_dens", None))
-        radius0 = float(model.particle_radii[0])
-        k = int(getattr(model, "neighbor_k", 64))
-        loss_keys = list(self.loss_fns.keys())
-
-        def warmup(params, item):
-            """Self-rollout warm-up with divergence guards (no grads)."""
-            pre = item["pre"]
-            base = {k2: item[k2] for k2 in ("box", "box_normals",
-                                            "fluid_mask", "box_mask")}
-            grav0 = item["grav"][0] if item.get("grav") is not None else None
-
-            def make_sample(pos, vel):
-                s = dict(base)
-                s["pos"], s["vel"] = pos, vel
-                if grav0 is not None:
-                    s["grav"] = grav0
-                return s
-
-            def cond(carry):
-                p, pos, vel, prev_err, prev_derr, stopped = carry
-                return jnp.logical_and(p < pre, jnp.logical_not(stopped))
-
-            def body(carry):
-                p, pos, vel, prev_err, prev_derr, stopped = carry
-                s = make_sample(pos, vel)
-                pos2, vel2, _ = model.apply(params, s, training=False)
-                diverged = jnp.asarray(False)
-                err = prev_err
-                derr = prev_derr
-                if max_err is not None:
-                    tgt = item["pos"][p]
-                    err = jnp.max(jnp.where(
-                        item["fluid_mask"],
-                        jnp.sum(jnp.abs(pos2 - tgt), -1), 0.0))
-                    diverged |= (p > 0) & (err > prev_err) & (err > max_err)
-                if max_dens_err is not None:
-                    tgt = item["pos"][p]
-                    fm = item["fluid_mask"]
-                    bm = item["box_mask"]
-                    allm = jnp.concatenate([fm, bm])
-                    derr = density_loss(
-                        pos2, tgt, fm, fm,
-                        gt_in=jnp.concatenate([pos2, item["box"]], 0),
-                        pred_in=jnp.concatenate([tgt, item["box"]], 0),
-                        gt_in_mask=allm, pred_in_mask=allm,
-                        radius=radius0, win=win_dens, use_max=True, k=k)
-                    diverged |= (p > 0) & (derr > prev_derr) & \
-                        (derr > max_dens_err)
-                # on divergence: stop WITHOUT committing this step
-                pos_n = jnp.where(diverged, pos, pos2)
-                vel_n = jnp.where(diverged, vel, vel2)
-                p_n = jnp.where(diverged, p, p + 1)
-                return (p_n, pos_n, vel_n, err, derr, diverged)
-
-            p0 = jnp.asarray(0, jnp.int32)
-            carry = (p0, item["pos"][0], item["vel"][0],
-                     jnp.asarray(0.0), jnp.asarray(0.0),
-                     jnp.asarray(False))
-            p, pos, vel, _, _, _ = jax.lax.while_loop(cond, body, carry)
-            # reference reports the final loop counter (simulator.py:359):
-            # pre-1 when completed, break-point otherwise
-            pre_eff = jnp.where(p == pre, jnp.maximum(pre - 1, 0), p)
-            return pos, vel, pre_eff
-
-        def per_item(params, item, pos0, vel0, pre_eff, time_w):
-            base = {k2: item[k2] for k2 in ("box", "box_normals",
-                                            "fluid_mask", "box_mask")}
-            grav0 = item["grav"][0] if item.get("grav") is not None else None
-
-            def step(carry, t):
-                pos, vel = carry
-                s = dict(base)
-                s["pos"], s["vel"] = pos, vel
-                if grav0 is not None:
-                    s["grav"] = grav0
-                target = jnp.take(item["pos"], t + pre_eff + 1, axis=0)
-                target_prev = jnp.take(item["pos"], t + pre_eff, axis=0)
-                pos2, vel2, losses = self._loss_for_step(
-                    params, s, target, target_prev, pre_eff,
-                    vel_iterations=its)
-                lvec = jnp.stack([losses[k2] for k2 in loss_keys])
-                return (pos2, vel2), lvec * time_w[t]
-
-            (pos, vel), lvecs = jax.lax.scan(
-                jax.checkpoint(step), (pos0, vel0),
-                jnp.arange(window))
-            return jnp.sum(lvecs, axis=0)
-
-        def train_step(params, opt_state, batch, time_w):
-            # warm-up self-rollout outside the differentiated region
-            # (reference runs it before the GradientTape,
-            # pipelines/simulator.py:320-361)
-            pos0, vel0, pre_eff = jax.vmap(
-                lambda item: warmup(params, item))(batch)
-            pos0 = jax.lax.stop_gradient(pos0)
-            vel0 = jax.lax.stop_gradient(vel0)
-
-            def loss_fn(params):
-                lvecs = jax.vmap(
-                    lambda item, p0, v0, pe: per_item(params, item, p0, v0,
-                                                      pe, time_w))(
-                    batch, pos0, vel0, pre_eff)
-                denom = jnp.sum(time_w) * lvecs.shape[0]
-                lvec = jnp.sum(lvecs, axis=0) / denom
-                total = jnp.sum(lvec)
-                if w_decay > 0:
-                    total = total + w_decay * sum(
-                        jnp.sum(w**2) for w in jax.tree.leaves(params))
-                return total, lvec
-
-            (total, lvec), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            if grad_norm > 0:
-                grads = jax.tree.map(
-                    lambda g: _clip_by_norm(g, grad_norm), grads)
-            updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                       params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, lvec, pre_eff
-
-        return jax.jit(train_step)
+        return make_train_step(
+            self.model, self.loss_fns, self.optimizer, window=window,
+            its=its, max_err=max_err, max_dens_err=max_dens_err,
+            w_decay=float(self.cfg.get("w_decay", 0) or 0),
+            grad_norm=float(self.cfg.get("grad_clip_norm", -1) or -1))
 
     def _train_step_for(self, batch, window, its, max_err, max_dens_err):
         shape_key = ("train", batch["pos"].shape, batch["box"].shape,
@@ -589,9 +441,21 @@ class Simulator(BasePipeline):
                 dbatch = self._device_batch(batch)
                 train_step = self._train_step_for(
                     batch, window, iterations[it_idx], max_err, max_dens_err)
+
+                # optional profiler capture (reference has only hand-rolled
+                # wall-clock timing; SURVEY §5.1 calls for jax.profiler)
+                profile_at = int(cfg.get("profile_step", -1))
+                if step == profile_at:
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.logs_dir, "profile"))
                 self.params, self.opt_state, lvec, pre_eff = train_step(
                     self.params, self.opt_state, dbatch,
                     jnp.asarray(time_w))
+                if step == profile_at:
+                    jax.block_until_ready(lvec)
+                    jax.profiler.stop_trace()
+                    log.info("profiler trace written to {}",
+                             os.path.join(cfg.logs_dir, "profile"))
 
                 if i == 0 and epoch == start_ep:
                     self.log_param_count()
@@ -633,3 +497,160 @@ class Simulator(BasePipeline):
                                                       training=False))
         return init(jax.random.PRNGKey(int(self.cfg.get("seed", 42))),
                     sample)
+
+
+
+def make_train_step(model, loss_fns, optimizer, *, window, its=0,
+                    max_err=None, max_dens_err=None, w_decay=0.0,
+                    grad_norm=-1.0):
+    """Build the jitted BPTT train step (standalone; used by the pipeline,
+    the benchmark harness, and the multi-chip dry run).
+
+    Signature of the returned function:
+        (params, opt_state, batch, time_w) ->
+            (params, opt_state, loss_vector, pre_effective)
+    All control flow is compiler-friendly: vmapped lax.while_loop warm-up,
+    lax.scan window unroll with jax.checkpoint, no data-dependent Python.
+    """
+    win_dens = get_window_func(getattr(model, "window_dens", None))
+    radius0 = float(model.particle_radii[0])
+    k = int(getattr(model, "neighbor_k", 64))
+    loss_keys = list(loss_fns.keys())
+
+    def eval_losses(sample, pos, vel, aux, target, target_prev, pre_eff):
+        mask = sample["fluid_mask"]
+        return {name: fn(target, pos, mask,
+                         num_fluid_neighbors=aux["num_fluid_neighbors"],
+                         input_pos=sample["pos"], target_prev=target_prev,
+                         pre_steps=pre_eff,
+                         pos_correction=aux["pos_correction"])
+                for name, fn in loss_fns.items()}
+
+    def loss_for_step(params, sample, target, target_prev, pre_eff):
+        pos, vel, aux = model.apply(params, sample, training=True)
+        losses = [eval_losses(sample, pos, vel, aux, target, target_prev,
+                              pre_eff)]
+        for _ in range(1, max(its, 1)):
+            pos, vel, aux = model.apply(params, sample, training=True,
+                                        vel_corr=vel)
+            losses.append(eval_losses(sample, pos, vel, aux, target,
+                                      target_prev, pre_eff))
+        mean = {k2: sum(d[k2] for d in losses) / len(losses)
+                for k2 in losses[0]}
+        return pos, vel, mean
+
+    def warmup(params, item):
+        """Self-rollout warm-up with divergence guards (no grads)."""
+        pre = item["pre"]
+        base = {k2: item[k2] for k2 in ("box", "box_normals",
+                                        "fluid_mask", "box_mask")}
+        grav0 = item["grav"][0] if item.get("grav") is not None else None
+
+        def make_sample(pos, vel):
+            s = dict(base)
+            s["pos"], s["vel"] = pos, vel
+            if grav0 is not None:
+                s["grav"] = grav0
+            return s
+
+        def cond(carry):
+            p, pos, vel, prev_err, prev_derr, stopped = carry
+            return jnp.logical_and(p < pre, jnp.logical_not(stopped))
+
+        def body(carry):
+            p, pos, vel, prev_err, prev_derr, stopped = carry
+            s = make_sample(pos, vel)
+            pos2, vel2, _ = model.apply(params, s, training=False)
+            diverged = jnp.asarray(False)
+            err = prev_err
+            derr = prev_derr
+            if max_err is not None:
+                tgt = item["pos"][p]
+                err = jnp.max(jnp.where(
+                    item["fluid_mask"],
+                    jnp.sum(jnp.abs(pos2 - tgt), -1), 0.0))
+                diverged |= (p > 0) & (err > prev_err) & (err > max_err)
+            if max_dens_err is not None:
+                tgt = item["pos"][p]
+                fm = item["fluid_mask"]
+                bm = item["box_mask"]
+                allm = jnp.concatenate([fm, bm])
+                derr = density_loss(
+                    pos2, tgt, fm, fm,
+                    gt_in=jnp.concatenate([pos2, item["box"]], 0),
+                    pred_in=jnp.concatenate([tgt, item["box"]], 0),
+                    gt_in_mask=allm, pred_in_mask=allm,
+                    radius=radius0, win=win_dens, use_max=True, k=k)
+                diverged |= (p > 0) & (derr > prev_derr) & \
+                    (derr > max_dens_err)
+            # on divergence: stop WITHOUT committing this step
+            pos_n = jnp.where(diverged, pos, pos2)
+            vel_n = jnp.where(diverged, vel, vel2)
+            p_n = jnp.where(diverged, p, p + 1)
+            return (p_n, pos_n, vel_n, err, derr, diverged)
+
+        p0 = jnp.asarray(0, jnp.int32)
+        carry = (p0, item["pos"][0], item["vel"][0],
+                 jnp.asarray(0.0), jnp.asarray(0.0),
+                 jnp.asarray(False))
+        p, pos, vel, _, _, _ = jax.lax.while_loop(cond, body, carry)
+        # reference reports the final loop counter (simulator.py:359):
+        # pre-1 when completed, break-point otherwise
+        pre_eff = jnp.where(p == pre, jnp.maximum(pre - 1, 0), p)
+        return pos, vel, pre_eff
+
+    def per_item(params, item, pos0, vel0, pre_eff, time_w):
+        base = {k2: item[k2] for k2 in ("box", "box_normals",
+                                        "fluid_mask", "box_mask")}
+        grav0 = item["grav"][0] if item.get("grav") is not None else None
+
+        def step(carry, t):
+            pos, vel = carry
+            s = dict(base)
+            s["pos"], s["vel"] = pos, vel
+            if grav0 is not None:
+                s["grav"] = grav0
+            target = jnp.take(item["pos"], t + pre_eff + 1, axis=0)
+            target_prev = jnp.take(item["pos"], t + pre_eff, axis=0)
+            pos2, vel2, losses = loss_for_step(
+                params, s, target, target_prev, pre_eff)
+            lvec = jnp.stack([losses[k2] for k2 in loss_keys])
+            return (pos2, vel2), lvec * time_w[t]
+
+        (pos, vel), lvecs = jax.lax.scan(
+            jax.checkpoint(step), (pos0, vel0),
+            jnp.arange(window))
+        return jnp.sum(lvecs, axis=0)
+
+    def train_step(params, opt_state, batch, time_w):
+        # warm-up self-rollout outside the differentiated region
+        # (reference runs it before the GradientTape,
+        # pipelines/simulator.py:320-361)
+        pos0, vel0, pre_eff = jax.vmap(
+            lambda item: warmup(params, item))(batch)
+        pos0 = jax.lax.stop_gradient(pos0)
+        vel0 = jax.lax.stop_gradient(vel0)
+
+        def loss_fn(params):
+            lvecs = jax.vmap(
+                lambda item, p0, v0, pe: per_item(params, item, p0, v0,
+                                                  pe, time_w))(
+                batch, pos0, vel0, pre_eff)
+            denom = jnp.sum(time_w) * lvecs.shape[0]
+            lvec = jnp.sum(lvecs, axis=0) / denom
+            total = jnp.sum(lvec)
+            if w_decay > 0:
+                total = total + w_decay * sum(
+                    jnp.sum(w**2) for w in jax.tree.leaves(params))
+            return total, lvec
+
+        (total, lvec), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        if grad_norm > 0:
+            grads = jax.tree.map(
+                lambda g: _clip_by_norm(g, grad_norm), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, lvec, pre_eff
+
+    return jax.jit(train_step)

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Standalone large-scene inference demo (canyon scene with inflow).
+
+Equivalent of the reference run_sample.py:77-241: load a msgpack.zst scene,
+restore a checkpoint, run a jitted rollout with optional particle inflow
+(re-injection of the initial block every 2 steps while t < --inflow), and
+write the trajectory to hdf5.
+
+TPU-first design: instead of growing tensors per inflow event (dynamic
+shapes => retraces), the particle buffer is pre-allocated at full capacity
+(initial block x number of inflow events) and inflow *activates* the next
+block by flipping its validity mask inside the jitted scan — fixed shapes
+throughout, a single compiled rollout.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import yaml
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Run a network")
+    parser.add_argument("-c", "--cfg_file", help="path to the config file")
+    parser.add_argument("--ckpt_path", help="path to the checkpoint")
+    parser.add_argument("--data_path", help="path to the scene data",
+                        default="/root/reference/datasets/canyon_data/"
+                                "canyon.msgpack.zst")
+    parser.add_argument("--inflow", default=0, type=int,
+                        help="inflow timing (steps with re-injection)")
+    parser.add_argument("--timesteps", default=None, type=int)
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--output_dir", default="output")
+    parser.add_argument("--boundary_crop_margin", type=float, default=None,
+                        help="optional AABB crop margin for the boundary "
+                             "(speeds up huge scenes)")
+    return parser.parse_known_args()[0]
+
+
+def main():
+    args = parse_args()
+    np.random.seed(42)
+
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dmcf_tpu.data import read_msgpack_zst, write_results
+    from dmcf_tpu.data.dataflow import pad_particles, sentinel_rows
+    from dmcf_tpu.models import build_model
+    from dmcf_tpu.utils import setup_logging
+
+    setup_logging()
+
+    cfg = yaml.safe_load(open(args.cfg_file))
+    model = build_model(cfg["model"])
+
+    data = read_msgpack_zst(args.data_path)
+    frame0 = data[0]
+    timesteps = args.timesteps if args.timesteps is not None else len(data)
+
+    pos0 = np.asarray(frame0["pos"], np.float32)
+    vel0 = np.asarray(frame0["vel"], np.float32) + \
+        np.array([10.0, 0.0, -6.0], np.float32)
+    box = np.asarray(frame0["box"], np.float32)
+    nrm = np.asarray(frame0["box_normals"], np.float32)
+    n0 = pos0.shape[0]
+
+    if args.boundary_crop_margin is not None:
+        # static pre-crop of the boundary to the traversable region
+        lo = pos0.min(0) - args.boundary_crop_margin
+        hi = pos0.max(0) + args.boundary_crop_margin
+        keep = np.all((box >= lo) & (box <= hi), axis=-1)
+        box, nrm = box[keep], nrm[keep]
+        print(f"boundary cropped: {keep.sum()}/{keep.size}")
+
+    # capacity: initial block + one block per inflow event (every 2 steps)
+    n_events = max((min(args.inflow, timesteps) + 0) // 2, 0)
+    capacity = (1 + n_events) * n0
+    capacity = int(-(-capacity // 128) * 128)
+
+    pos = np.concatenate([pos0, sentinel_rows(capacity - n0)], 0)
+    vel = np.concatenate([vel0, np.zeros((capacity - n0, 3), np.float32)], 0)
+    grav = np.zeros((capacity, 3), np.float32)
+    grav[:, 1] = float(model.grav)
+    fmask = np.arange(capacity) < n0
+
+    b_cap = int(-(-box.shape[0] // 128) * 128)
+    box_p = pad_particles(box, b_cap)
+    box_p[box.shape[0]:] = sentinel_rows(b_cap - box.shape[0],
+                                         offset=capacity)
+    nrm_p = pad_particles(nrm, b_cap)
+    bmask = np.arange(b_cap) < box.shape[0]
+
+    sample = {
+        "pos": jnp.asarray(pos), "vel": jnp.asarray(vel),
+        "grav": jnp.asarray(grav), "box": jnp.asarray(box_p),
+        "box_normals": jnp.asarray(nrm_p),
+        "fluid_mask": jnp.asarray(fmask), "box_mask": jnp.asarray(bmask),
+    }
+
+    # checkpoint
+    params = None
+    if args.ckpt_path:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(args.ckpt_path))
+        params = restored.get("params", restored)
+        print(f"Restored from {args.ckpt_path}")
+    if params is None:
+        print("No checkpoint given: using random init")
+        params = jax.jit(lambda k, s: model.init(k, s, training=False))(
+            jax.random.PRNGKey(0), sample)
+
+    inflow_steps = int(args.inflow)
+    block_pos = jnp.asarray(pos0)
+    block_vel = jnp.asarray(vel0)
+
+    def rollout(params, s0, length):
+        def body(carry, t):
+            pos, vel, mask, n_active = carry
+            s = dict(s0)
+            s["pos"], s["vel"], s["fluid_mask"] = pos, vel, mask
+            p, v, _ = model.apply(params, s, training=False)
+
+            def do_inflow(args_):
+                p, v, mask, n_active = args_
+                p = jax.lax.dynamic_update_slice(p, block_pos,
+                                                 (n_active, 0))
+                v = jax.lax.dynamic_update_slice(v, block_vel,
+                                                 (n_active, 0))
+                idx = jnp.arange(capacity)
+                mask = mask | ((idx >= n_active) & (idx < n_active + n0))
+                return p, v, mask, n_active + n0
+
+            inflow_now = (t < inflow_steps) & (t % 2 == 1) & \
+                (n_active + n0 <= capacity)
+            p, v, mask, n_active = jax.lax.cond(
+                inflow_now, do_inflow, lambda a: a, (p, v, mask, n_active))
+            return (p, v, mask, n_active), (p, mask)
+
+        init = (s0["pos"], s0["vel"], s0["fluid_mask"],
+                jnp.asarray(n0, jnp.int32))
+        (_, _, _, n_final), (ps, ms) = jax.lax.scan(
+            body, init, jnp.arange(length - 1))
+        return ps, ms, n_final
+
+    roll = jax.jit(rollout, static_argnames=("length",))
+    print(f"scene: {n0} fluid (capacity {capacity}), "
+          f"{int(bmask.sum())} boundary; {timesteps} steps")
+    t0 = time.time()
+    ps, ms, n_final = roll(params, sample, timesteps)
+    jax.block_until_ready(ps)
+    total = time.time() - t0
+    print("Average runtime: %.05f s/step (incl. compile; %d steps)" %
+          (total / max(timesteps - 1, 1), timesteps - 1))
+
+    # assemble output: frame 0 + rollout frames, padded with sentinel 1000
+    # (reference run_sample.py:215-218)
+    ps = np.asarray(ps)
+    ms = np.asarray(ms)
+    out = np.ones((timesteps, capacity, 3), np.float32) * 1000.0
+    out[0, :n0] = pos0
+    for i in range(ps.shape[0]):
+        m = ms[i]
+        out[i + 1][m] = ps[i][m]
+
+    out_dir = os.path.join(args.output_dir, "example", "0000")
+    os.makedirs(out_dir, exist_ok=True)
+    write_results(os.path.join(out_dir, "0000.hdf5"),
+                  type(model).__name__,
+                  [(out, {"name": "pred", "type": "PARTICLE"}),
+                   (box, {"name": "bnd", "type": "PARTICLE"})])
+    print("wrote", os.path.join(out_dir, "0000.hdf5"))
+    sys.stdout.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
