@@ -51,15 +51,17 @@ def subset_neighbors(nl: NeighborList, keep) -> NeighborList:
 class SearchCache:
     """Trace-time cache: one fixed-radius search per (src, dst, radius)."""
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, method: str = "auto"):
         self.k = k
+        self.method = method
         self._cache: Dict[Tuple, NeighborList] = {}
 
     def get(self, src_name, dst_name, radius, points, pmask, queries, qmask):
         key = (src_name, dst_name, float(radius))
         if key not in self._cache:
-            self._cache[key] = fixed_radius_search(
-                points, queries, radius, self.k,
+            from ..ops.neighbors import search
+            self._cache[key] = search(
+                points, queries, radius, self.k, method=self.method,
                 points_mask=pmask, queries_mask=qmask)
         return self._cache[key]
 
@@ -109,6 +111,7 @@ class PBFNet(nn.Module):
     neighbor_k: int = 64
     scale_size_factor: float = 1.0
     precision: str = "highest"
+    search_method: str = "auto"  # brute | grid | auto (by problem size)
 
     # ------------------------------------------------------------------
     # setup
@@ -313,7 +316,7 @@ class PBFNet(nn.Module):
         all_pos = jnp.concatenate([pos, box_pos], axis=0)
         all_mask = jnp.concatenate([fluid_mask, box_mask], axis=0)
 
-        cache = SearchCache(self.neighbor_k)
+        cache = SearchCache(self.neighbor_k, method=self.search_method)
         # One all->all search at the finest radius serves the fluid->all and
         # box->all convs (by index subsetting), densities, the equivariant
         # displacement, and the ASCC output layer.

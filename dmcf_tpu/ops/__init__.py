@@ -1,6 +1,8 @@
 from .cconv import (build_circular_kernel, build_symmetric_kernel,
                     continuous_conv, point_sampling, reduce_neighbor_count)
-from .neighbors import NeighborList, fixed_radius_search, radius_search
+from .grid_search import grid_fixed_radius_search
+from .neighbors import (NeighborList, fixed_radius_search,
+                        invert_neighbors_list, radius_search, search)
 from .sph import (align_vector, compute_density, compute_pressure,
                   compute_transformed_dx, farthest_point_sample,
                   get_dilated_pos, grid_pos, masked_positions,
@@ -11,7 +13,10 @@ from .windows import get_window_func
 __all__ = [
     "NeighborList",
     "fixed_radius_search",
+    "grid_fixed_radius_search",
+    "invert_neighbors_list",
     "radius_search",
+    "search",
     "continuous_conv",
     "point_sampling",
     "reduce_neighbor_count",

@@ -131,6 +131,28 @@ def fixed_radius_search(points,
     return NeighborList(idx=idx, mask=mask, dist=dist, count=count)
 
 
+def search(points, queries, radius, k, *, method="auto", points_mask=None,
+           queries_mask=None, metric="L2", ignore_query_point=False,
+           cell_cap=32, planar_axis=None):
+    """Dispatching fixed-radius search: 'brute' (chunked O(QN) scan, fastest
+    for small/medium scenes on TPU), 'grid' (sort-based cell lists,
+    O(N log N + Q*27*cap), for large scenes), or 'auto' by problem size."""
+    if method == "auto":
+        method = ("grid" if points.shape[0] * queries.shape[0] > 3e7
+                  else "brute")
+    if method == "grid":
+        from .grid_search import grid_fixed_radius_search
+        return grid_fixed_radius_search(
+            points, queries, radius, k, points_mask=points_mask,
+            queries_mask=queries_mask, metric=metric,
+            ignore_query_point=ignore_query_point, cell_cap=cell_cap,
+            planar_axis=planar_axis)
+    return fixed_radius_search(points, queries, radius, k,
+                               points_mask=points_mask,
+                               queries_mask=queries_mask, metric=metric,
+                               ignore_query_point=ignore_query_point)
+
+
 def invert_neighbors_list(nl: NeighborList, num_points: int,
                           k_out: int) -> NeighborList:
     """Transpose a padded neighbor list: for each input point, the output
