@@ -104,13 +104,15 @@ def main():
         return p, v
 
     roll = jax.jit(rollout, static_argnames=("length",))
-    # warm-up / compile
-    p, v = roll(params, sample, 10)
-    jax.block_until_ready(p)
+    # warm-up / compile at the SAME length as the timed run (a different
+    # length is a different scan program => the timed call would include
+    # compilation), then hard-sync through a host transfer
+    p, v = roll(params, sample, HORIZON)
+    np.asarray(p[:1])
 
     t0 = time.time()
     p, v = roll(params, sample, HORIZON)
-    jax.block_until_ready(p)
+    np.asarray(p[:1])
     dt = time.time() - t0
     steps_per_sec = HORIZON / dt
 

@@ -5,9 +5,9 @@ from .neighbors import (NeighborList, fixed_radius_search,
                         invert_neighbors_list, radius_search, search)
 from .sph import (align_vector, compute_density, compute_pressure,
                   compute_transformed_dx, farthest_point_sample,
-                  get_dilated_pos, grid_pos, masked_positions,
-                  pad_sentinel_positions, quat_conj, quat_mean, quat_mult,
-                  quat_rot)
+                  get_dilated_pos, grid_pos, masked_positions, nn_distance,
+                  pad_sentinel_positions, prob_sample, quat_conj, quat_mean,
+                  quat_mult, quat_rot)
 from .windows import get_window_func
 
 __all__ = [
@@ -31,7 +31,9 @@ __all__ = [
     "get_dilated_pos",
     "grid_pos",
     "masked_positions",
+    "nn_distance",
     "pad_sentinel_positions",
+    "prob_sample",
     "quat_conj",
     "quat_mean",
     "quat_mult",

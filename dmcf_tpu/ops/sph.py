@@ -144,6 +144,39 @@ def grid_pos(pos,
     return gp, out_mask, count
 
 
+def nn_distance(a, b, a_mask=None, b_mask=None):
+    """Bidirectional nearest-neighbor (Chamfer) distances on device.
+
+    Equivalent of the reference's NnDistance CUDA op
+    (utils/tools/nn_distance.cu:31-185): for every point of each set, the
+    squared distance to (and index of) the nearest point of the other set.
+    Brute force on the VPU — eval-sized point sets only.
+    """
+    d = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+    if b_mask is not None:
+        d = jnp.where(b_mask[None, :], d, jnp.inf)
+    if a_mask is not None:
+        d = jnp.where(a_mask[:, None], d, jnp.inf)
+    dist_a = jnp.min(d, axis=1)
+    idx_a = jnp.argmin(d, axis=1).astype(jnp.int32)
+    dist_b = jnp.min(d, axis=0)
+    idx_b = jnp.argmin(d, axis=0).astype(jnp.int32)
+    if a_mask is not None:
+        dist_a = jnp.where(a_mask, dist_a, 0.0)
+    if b_mask is not None:
+        dist_b = jnp.where(b_mask, dist_b, 0.0)
+    return dist_a, idx_a, dist_b, idx_b
+
+
+def prob_sample(weights, uniforms):
+    """Inverse-CDF categorical sampling (reference ProbSample CUDA op,
+    utils/tools/sampling.cu:27-124): for each uniform u in [0,1), the index
+    whose CDF bucket contains u."""
+    cdf = jnp.cumsum(weights, axis=-1)
+    cdf = cdf / cdf[..., -1:]
+    return jnp.searchsorted(cdf, uniforms).astype(jnp.int32)
+
+
 def farthest_point_sample(pos, mask, sample_max, count=None):
     """Iterative farthest point sampling, padded to ``sample_max`` points.
 

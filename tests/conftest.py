@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# persistent compilation cache: model-build/jit-heavy tests compile once
+# per machine instead of once per pytest run
+jax.config.update("jax_compilation_cache_dir", "/tmp/dmcf_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
