@@ -322,6 +322,47 @@ def _sample_sphere(r, res, sres, dim=2):
     return grid[keep].reshape(-1, 3)
 
 
+def gen_momentum_data(data_cnt=1, timesteps=50, res=100, dim=2, radius=12,
+                      dt=0.01, gravity=0.0, speed=30.0):
+    """Momentum-validation scenes: two particle blobs on a collision course
+    with no boundary geometry (the reference's momentum / momentum_g
+    validation datasets — scripts/valid.sh:15-17 — use external scenes of
+    this shape; gravity=0 for 'momentum', nonzero for 'momentum_g').
+
+    Ground truth is ballistic free flight (blobs pass through each other);
+    these scenes exist to measure a learned model's *momentum drift* during
+    rollout, for which the total-momentum invariant — not the trajectory —
+    is the scored quantity.
+    """
+    g = np.array([0.0, gravity * res, 0.0])
+    data = []
+    for d in range(data_cnt):
+        blob = _sample_sphere(radius, res, 0.5, dim)
+        offset = np.array([res * 0.25, 0.0, 0.0])
+        pos = np.concatenate([blob - offset, blob + offset], 0)
+        vel = np.concatenate([
+            np.tile([speed, 0.0, 0.0], (len(blob), 1)),
+            np.tile([-speed, 0.0, 0.0], (len(blob), 1))], 0)
+        seq_p, seq_v = [pos], [vel]
+        for t in range(timesteps):
+            v1 = seq_v[t] + dt * g
+            seq_p.append(seq_p[t] + dt * v1)
+            seq_v.append(v1)
+        frames = []
+        for t in range(len(seq_p)):
+            frames.append({
+                "frame_id": t,
+                "scene_id": "sim_%04d" % d,
+                "grav": g / res,
+                "pos": (seq_p[t] / res).astype(np.float32),
+                "vel": (seq_v[t] / res).astype(np.float32),
+                "box": np.ones((1, 3), np.float32) * 2.0,
+                "box_normals": np.zeros((1, 3), np.float32),
+            })
+        data.append(frames)
+    return data
+
+
 def gen_free_fall_data(data_cnt=1, timesteps=100, res=100, dim=2, radius=20,
                        dt=0.01, gravity=-10.0, mode=0):
     """Analytic ballistic sphere drop (reference datasets/free_fall_gen.py).

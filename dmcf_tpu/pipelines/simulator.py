@@ -45,6 +45,43 @@ def _clip_by_norm(g, norm):
     return jnp.where(n > norm, g * (norm / n), g)
 
 
+def compute_time_weights(step, window_it, windows, window_bnds, time_blend):
+    """Per-unroll-step loss weights with curriculum cross-fade.
+
+    After a window-curriculum boundary, the newly added trailing steps fade
+    in linearly over ``time_blend`` optimizer steps (reference
+    pipelines/simulator.py:463-476)."""
+    window = windows[window_it]
+    time_w = np.ones((window,), np.float32)
+    if window_it > 0:
+        a = (step - window_bnds[window_it - 1] + 1) / time_blend
+        if a < 1.0:
+            diff = windows[window_it] - windows[window_it - 1]
+            time_w[-diff:] = np.clip(a - np.arange(diff) / diff, 0.0, 1.0)
+    return time_w
+
+
+def advance_curriculum(step, state, windows, window_bnds, max_warm_up,
+                       warm_up_bnds, iterations, its_bnds):
+    """Advance (window_it, warm_up_it, it_idx) past any boundaries crossed
+    at ``step``; returns the new state and whether the loader must be
+    rebuilt (reference pipelines/simulator.py:431-457)."""
+    window_it, warm_up_it, it_idx = state
+    rebuild = False
+    while window_it < min(len(windows) - 1, len(window_bnds)) \
+            and step >= window_bnds[window_it]:
+        window_it += 1
+        rebuild = True
+    while warm_up_it < min(len(max_warm_up) - 1, len(warm_up_bnds)) \
+            and step >= warm_up_bnds[warm_up_it]:
+        warm_up_it += 1
+        rebuild = True
+    while it_idx < min(len(iterations) - 1, len(its_bnds)) \
+            and step >= its_bnds[it_idx]:
+        it_idx += 1
+    return (window_it, warm_up_it, it_idx), rebuild
+
+
 class Simulator(BasePipeline):
     def __init__(self, model, dataset=None, name="Simulator",
                  main_log_dir="./logs", device="tpu", split="train",
@@ -404,19 +441,11 @@ class Simulator(BasePipeline):
             for i in range(int(cfg.iter)):
                 step = epoch * int(cfg.iter) + i
 
-                rebuild = False
-                while window_it < min(len(windows) - 1, len(window_bnds)) \
-                        and step >= window_bnds[window_it]:
-                    window_it += 1
-                    rebuild = True
-                while warm_up_it < min(len(max_warm_up) - 1,
-                                       len(warm_up_bnds)) \
-                        and step >= warm_up_bnds[warm_up_it]:
-                    warm_up_it += 1
-                    rebuild = True
-                while it_idx < min(len(iterations) - 1, len(its_bnds)) \
-                        and step >= its_bnds[it_idx]:
-                    it_idx += 1
+                (window_it, warm_up_it, it_idx), rebuild = \
+                    advance_curriculum(step,
+                                       (window_it, warm_up_it, it_idx),
+                                       windows, window_bnds, max_warm_up,
+                                       warm_up_bnds, iterations, its_bnds)
                 if rebuild:
                     train_loader.close()
                     train_loader = make_loader(windows[window_it],
@@ -425,14 +454,8 @@ class Simulator(BasePipeline):
                 fetch_start = time.time()
                 batch = next(train_loader)
                 window = windows[window_it]
-
-                time_w = np.ones((window,), np.float32)
-                if window_it > 0:
-                    a = (step - window_bnds[window_it - 1] + 1) / time_blend
-                    if a < 1.0:
-                        diff = windows[window_it] - windows[window_it - 1]
-                        time_w[-diff:] = np.clip(
-                            a - np.arange(diff) / diff, 0.0, 1.0)
+                time_w = compute_time_weights(step, window_it, windows,
+                                              window_bnds, time_blend)
 
                 self.log_scalar_every_n_minutes(
                     self.writer, step, 5, "DataLatency",
