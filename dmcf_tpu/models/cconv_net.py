@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from .hrnet import _act
 from .layers import Dense
-from .pbf import PBFNet, subset_neighbors
+from .pbf import PBFNet, drop_coincident
 
 relu = jax.nn.relu
 
@@ -49,7 +49,7 @@ class CConv(PBFNet):
         nl = ctx["cache"].get("fluid_only", "fluid_only", ext / 2.0, pos,
                               mask, pos, mask)
         if self.ignore_query_points:
-            nl = subset_neighbors(nl, lambda i, d: d > 0)
+            nl = drop_coincident(nl, pos, pos)
 
         ans_convs = [feats]
         for conv, dense in zip(self.convs, self.denses):

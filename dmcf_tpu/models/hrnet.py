@@ -76,8 +76,9 @@ class HRNet(PBFNet):
             ctx["dilated_pos"][inp_scale], ctx["dilated_mask"][inp_scale],
             ctx["dilated_pos"][out_scale], ctx["dilated_mask"][out_scale])
         if ignore_query:
-            from .pbf import subset_neighbors
-            nl = subset_neighbors(nl, lambda i, d: d > 0)
+            from .pbf import drop_coincident
+            nl = drop_coincident(nl, ctx["dilated_pos"][inp_scale],
+                                 ctx["dilated_pos"][out_scale])
         return nl
 
     def forward(self, ctx, data, training=True):

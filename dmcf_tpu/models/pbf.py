@@ -48,6 +48,17 @@ def subset_neighbors(nl: NeighborList, keep) -> NeighborList:
                         count=jnp.sum(mask, axis=1, dtype=jnp.int32))
 
 
+def drop_coincident(nl: NeighborList, points, queries) -> NeighborList:
+    """Derive the ``ignore_query_point`` variant of a neighbor list by
+    exact position equality (cheap on the K-wide padded list; stored
+    distances may carry expansion-form noise at zero)."""
+    same = jnp.all(points[nl.idx] == queries[:, None, :], axis=-1)
+    mask = nl.mask & jnp.logical_not(same)
+    return NeighborList(idx=jnp.where(mask, nl.idx, 0), mask=mask,
+                        dist=jnp.where(mask, nl.dist, 0.0),
+                        count=jnp.sum(mask, axis=1, dtype=jnp.int32))
+
+
 class SearchCache:
     """Trace-time cache: one fixed-radius search per (src, dst, radius)."""
 
@@ -109,7 +120,10 @@ class PBFNet(nn.Module):
     sym_axis: int = 2  # accepted here so configs pass through uniformly
     # --- TPU-specific knobs ---
     neighbor_k: int = 64
-    scale_size_factor: float = 1.0
+    # padded point-budget for coarse pyramid scales, as a fraction of the
+    # scale-0 size; scalar or per-scale list.  Truncation is tracked via
+    # aux['scale_counts'] (counts exceeding the cap mean lost voxels).
+    scale_size_factor: Any = 1.0
     precision: str = "highest"
     search_method: str = "auto"  # brute | grid | auto (by problem size)
 
@@ -407,9 +421,13 @@ class PBFNet(nn.Module):
         else:
             base_pos, base_mask = pos, fluid_mask
         all_max = base_pos.shape[0]
+        if isinstance(self.scale_size_factor, (list, tuple)):
+            factors = list(self.scale_size_factor)
+        else:
+            factors = [float(self.scale_size_factor)] * len(self.strides)
         out_maxes = [all_max if s == 1 else
-                     max(8, int(np.ceil(all_max * self.scale_size_factor)))
-                     for s in self.strides]
+                     max(8, int(np.ceil(all_max * factors[si])))
+                     for si, s in enumerate(self.strides)]
         vox = (None if self.voxel_size is None
                else np.asarray(self.voxel_size, np.float32))
         dpos, dmask, dcount, didx = get_dilated_pos(

@@ -55,8 +55,8 @@ class SymNet(HRNet):
         ext = ctx["filter_extent"][0]
         # ASCC neighbor list: the shared all->all scale-0 search with
         # coincident points dropped (ignore_query_points=True)
-        from .pbf import subset_neighbors
-        nl = subset_neighbors(ctx["nl_all0"], lambda i, d: d > 0)
+        from .pbf import drop_coincident
+        nl = drop_coincident(ctx["nl_all0"], all_pos, all_pos)
 
         for conv in self.sym_convs:
             ans = jax.nn.relu(ans)

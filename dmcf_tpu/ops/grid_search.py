@@ -129,14 +129,10 @@ def grid_fixed_radius_search(points,
             valid &= dist > 0
         valid &= qmask[:, None]
 
-        count = jnp.sum(valid, axis=1, dtype=jnp.int32)
-        dist_m = jnp.where(valid, dist, jnp.inf)
-        neg_top, arg = jax.lax.top_k(-dist_m, k)
-        best_d = -neg_top
-        mask_k = jnp.isfinite(best_d)
-        idx = jnp.where(mask_k, order[jnp.take_along_axis(flat, arg,
-                                                          axis=1)], 0)
-        dist_k = jnp.where(mask_k, best_d, 0.0)
+        from .neighbors import select_k_valid
+        sel, mask_k, dist_k, count = select_k_valid(valid, dist, k)
+        idx = jnp.where(mask_k,
+                        order[jnp.take_along_axis(flat, sel, axis=1)], 0)
         return idx, mask_k, dist_k, count, jnp.sum(cell_over, axis=1)
 
     if q <= query_chunk:
