@@ -120,6 +120,14 @@ class PBFNet(nn.Module):
     sym_axis: int = 2  # accepted here so configs pass through uniformly
     # --- TPU-specific knobs ---
     neighbor_k: int = 64
+    # fixed-shape analog of the reference's per-step boundary AABB crop
+    # (models/pbf_model.py:330-336): when > 0 and smaller than the padded
+    # boundary array, the step compacts the boundary particles inside the
+    # fluid AABB (+ coarsest filter extent) into this many slots before any
+    # search/conv — huge scenes (canyon: 185k boundary) only pay for the
+    # working set.  Overflow (more in-range boundary points than slots) is
+    # reported via aux['boundary_crop_count'].
+    boundary_crop_max: int = 0
     # padded point-budget for coarse pyramid scales, as a fraction of the
     # scale-0 size; scalar or per-scale list.  Truncation is tracked via
     # aux['scale_counts'] (counts exceeding the cap mean lost voxels).
@@ -165,6 +173,25 @@ class PBFNet(nn.Module):
 
     def setup_net(self):
         raise NotImplementedError
+
+    def _crop_boundary(self, pos, fluid_mask, box, bfeats, box_mask, ext):
+        """Compact the boundary particles within the fluid AABB (+ coarsest
+        extent) into ``boundary_crop_max`` fixed slots (reference
+        models/pbf_model.py:330-336 does this with dynamic shapes)."""
+        from ..ops.neighbors import select_k_valid
+
+        big = jnp.asarray(jnp.inf, pos.dtype)
+        p = jnp.where(fluid_mask[:, None], pos, big)
+        fluid_min = jnp.min(p, axis=0) - ext
+        p = jnp.where(fluid_mask[:, None], pos, -big)
+        fluid_max = jnp.max(p, axis=0) + ext
+        in_range = box_mask & jnp.all((box >= fluid_min) &
+                                      (box <= fluid_max), axis=-1)
+        dummy = jnp.zeros_like(in_range, jnp.float32)
+        idx, mask, _, count = select_k_valid(
+            in_range[None, :], dummy[None, :], self.boundary_crop_max)
+        idx, mask = idx[0], mask[0]
+        return box[idx], bfeats[idx], mask, count[0]
 
     def _use_scale0_convs(self):
         """Whether preprocess runs the scale-0 fluid/boundary convs
@@ -326,6 +353,12 @@ class PBFNet(nn.Module):
         r0 = self._radii[0]
 
         pos = masked_positions(pos, fluid_mask)
+
+        crop_count = None
+        if 0 < self.boundary_crop_max < box.shape[0]:
+            box, bfeats, box_mask, crop_count = self._crop_boundary(
+                pos, fluid_mask, box, bfeats, box_mask,
+                filter_extent[-1])
         box_pos = masked_positions(box, box_mask)
         all_pos = jnp.concatenate([pos, box_pos], axis=0)
         all_mask = jnp.concatenate([fluid_mask, box_mask], axis=0)
@@ -453,6 +486,7 @@ class PBFNet(nn.Module):
 
         return {
             "cache": cache,
+            "boundary_crop_count": crop_count,
             "all_pos": all_pos,
             "all_mask": all_mask,
             "pos_adv": pos,
@@ -523,4 +557,6 @@ class PBFNet(nn.Module):
             "scale_counts": jnp.stack([jnp.asarray(c, jnp.int32)
                                        for c in ctx["dilated_count"]]),
         }
+        if ctx.get("boundary_crop_count") is not None:
+            aux["boundary_crop_count"] = ctx["boundary_crop_count"]
         return pos_out, vel_out, aux

@@ -35,8 +35,12 @@ def parse_args():
     parser.add_argument("--device", default="tpu")
     parser.add_argument("--output_dir", default="output")
     parser.add_argument("--boundary_crop_margin", type=float, default=None,
-                        help="optional AABB crop margin for the boundary "
-                             "(speeds up huge scenes)")
+                        help="optional static AABB pre-crop margin for the "
+                             "boundary (host-side)")
+    parser.add_argument("--boundary_crop_max", type=int, default=0,
+                        help="per-step in-graph boundary working-set size "
+                             "(the fixed-shape analog of the reference's "
+                             "AABB crop; recommended for huge scenes)")
     return parser.parse_known_args()[0]
 
 
@@ -57,6 +61,8 @@ def main():
     setup_logging()
 
     cfg = yaml.safe_load(open(args.cfg_file))
+    if args.boundary_crop_max:
+        cfg["model"]["boundary_crop_max"] = args.boundary_crop_max
     model = build_model(cfg["model"])
 
     data = read_msgpack_zst(args.data_path)

@@ -127,6 +127,29 @@ class TestPaddingInvariance:
                                    np.asarray(vel_b)[:32], atol=5e-3)
 
 
+class TestBoundaryCrop:
+    def test_crop_equivalent_when_capacity_sufficient(self):
+        """With boundary_crop_max >= the in-range boundary count, the
+        working-set crop must not change fluid outputs (it only drops
+        out-of-range boundary particles, which have no fluid neighbors)."""
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg["neighbor_k"] = 32
+        sample = make_sample(n=48, n_valid=40, b=64, b_valid=48, seed=11)
+        ref_model = build_model(cfg)
+        params = ref_model.init(jax.random.PRNGKey(0), sample,
+                                training=False)
+        ref_pos, ref_vel, _ = ref_model.apply(params, sample,
+                                              training=False)
+
+        cfg["boundary_crop_max"] = 56  # >= all 48 valid boundary points
+        crop_model = build_model(cfg)
+        pos, vel, aux = crop_model.apply(params, sample, training=False)
+        fm = np.asarray(sample["fluid_mask"])
+        np.testing.assert_allclose(np.asarray(pos)[fm],
+                                   np.asarray(ref_pos)[fm], atol=1e-5)
+        assert int(aux["boundary_crop_count"]) <= 48
+
+
 class TestMomentumConservation:
     def test_symnet_correction_sums_to_zero_without_boundary(self):
         """With no boundary particles, the ASCC position correction must sum
