@@ -16,9 +16,11 @@ Key TPU-first differences from the reference:
   serves the fluid->all and box->all convs (and density / ASCC / equivariant
   paths) by *subsetting* the padded neighbor lists — the reference re-runs
   FixedRadiusSearch inside every conv call (utils/convolutions.py:352-373).
-* **No boundary cropping** (reference models/pbf_model.py:330-336): cropping
-  was a dynamic-shape perf trick; with fixed shapes, out-of-range boundary
-  particles simply have no fluid neighbors and contribute nothing.
+* **Boundary cropping is a fixed-slot compaction** (reference
+  models/pbf_model.py:330-336 physically shrinks the array): by default no
+  crop is needed — out-of-range boundary particles simply have no fluid
+  neighbors — and for huge scenes ``boundary_crop_max`` compacts the
+  in-range boundary into a static working set inside the jitted step.
 """
 
 from __future__ import annotations
@@ -30,10 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import (align_vector, compute_density, compute_pressure,
+from ..ops import (align_vector, compute_pressure,
                    compute_transformed_dx, get_dilated_pos, masked_positions,
                    point_sampling)
-from ..ops.neighbors import NeighborList, fixed_radius_search
+from ..ops.neighbors import NeighborList
 from ..ops.windows import get_window_func
 from .layers import ContinuousConv, Dense
 
