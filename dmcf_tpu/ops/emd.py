@@ -87,6 +87,15 @@ def match_cost(xyz1, xyz2, match):
     return jnp.sum(d * match, axis=(1, 2))
 
 
+def approx_vel(pos_0, pos_1, n=None, m=None):
+    """Soft-matched displacement field (reference
+    utils/tools/losses.py:411-414): for each point of ``pos_0``, the
+    match-weighted mean offset to ``pos_1``.  Returns [B, N, 3]."""
+    vel = pos_1[:, :, None, :] - pos_0[:, None, :, :]   # [B, M, N, 3]
+    match = approx_match(pos_0, pos_1, n, m)            # [B, M, N]
+    return jnp.sum(vel * match[..., None], axis=1)
+
+
 def emd_loss(y_true, y_pred, n=None, m=None):
     """EMD approximation = match cost / max(n, m) (reference
     utils/tools/losses.py:401-408)."""

@@ -177,6 +177,53 @@ def prob_sample(weights, uniforms):
     return jnp.searchsorted(cdf, uniforms).astype(jnp.int32)
 
 
+def grid_pos_bnds(pos, mask, voxel_size, out_max, centralize=False):
+    """Occupied-voxel centers by plain rounding, optionally normalized to
+    the point-set bounds (reference ``grid_pos_bnds``,
+    utils/tools/losses.py:184-212; no hysteresis/padding stamp)."""
+    voxel_size = np.asarray(voxel_size, np.float32)
+    vs = np.maximum(voxel_size, 1e-5)
+    dtype = pos.dtype
+
+    if centralize:
+        big = jnp.asarray(jnp.inf, dtype)
+        minpos = jnp.min(jnp.where(mask[:, None], pos, big), axis=0)
+        maxpos = jnp.maximum(jnp.max(jnp.where(mask[:, None], pos, -big),
+                                     axis=0) - minpos, 1e-7)
+        r = jnp.round(maxpos / vs)
+        cells = jnp.round((pos - minpos) / maxpos * r).astype(jnp.int32)
+    else:
+        cells = jnp.round(pos / vs).astype(jnp.int32)
+
+    big_i = jnp.iinfo(jnp.int32).max
+    cells_v = jnp.where(mask[:, None], cells, big_i)
+    minp = jnp.min(cells_v, axis=0)
+    maxp = jnp.max(jnp.where(mask[:, None], cells, jnp.iinfo(jnp.int32).min),
+                   axis=0)
+    dims = jnp.maximum(maxp - minp + 1, 1)
+    rel = jnp.clip(cells - minp, 0, dims - 1)
+    key = rel[:, 0] + rel[:, 1] * dims[0] + rel[:, 2] * dims[0] * dims[1]
+    key = jnp.where(mask, key, _KEY_SENTINEL)
+
+    order = jnp.argsort(key)
+    skey = key[order]
+    scells = cells[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    uniq = first & (skey != _KEY_SENTINEL)
+    count = jnp.sum(uniq, dtype=jnp.int32)
+    order2 = jnp.argsort(jnp.logical_not(uniq), stable=True)[:out_max]
+    out_cells = scells[order2]
+    out_mask = uniq[order2]
+
+    vsd = jnp.asarray(voxel_size, dtype)
+    if centralize:
+        gp = out_cells.astype(dtype) / jnp.maximum(
+            r, 1e-7) * maxpos + minpos
+    else:
+        gp = out_cells.astype(dtype) * vsd + vsd / 2.0
+    return masked_positions(gp, out_mask), out_mask, count
+
+
 def farthest_point_sample(pos, mask, sample_max, count=None):
     """Iterative farthest point sampling, padded to ``sample_max`` points.
 

@@ -180,3 +180,22 @@ class Config:
                         _merge_into(d.pipeline, path, value)
 
         return d.dataset.copy(), d.pipeline.copy(), d.model.copy()
+
+    @staticmethod
+    def merge_module_cfg_file(args, extra_dict=None):
+        """Sectionless mode: separate per-module config files given via
+        --cfg_dataset / --cfg_pipeline / --cfg_model (reference:
+        Config.merge_module_cfg_file, o3d/utils/config.py:141-185)."""
+        merged = ConfigDict()
+        for section, attr in (("dataset", "cfg_dataset"),
+                              ("pipeline", "cfg_pipeline"),
+                              ("model", "cfg_model")):
+            path = getattr(args, attr, None)
+            if path:
+                with open(path) as f:
+                    merged[section] = yaml.safe_load(f) or {}
+            else:
+                merged[section] = ConfigDict()
+        cfg = Config({k: v.to_dict() if isinstance(v, ConfigDict) else v
+                      for k, v in merged.items()})
+        return Config.merge_cfg_file(cfg, args, extra_dict)

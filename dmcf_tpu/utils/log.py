@@ -37,6 +37,12 @@ def get_runid(path):
     return "%05d" % (best + 1)
 
 
+def code2md(code_text, language=None):
+    """Wrap code in markdown fences (tensorboard text panels; reference
+    o3d/utils/log.py:36)."""
+    return "```" + (language or "") + "\n" + code_text + "\n```"
+
+
 def setup_logging():
     logging.setLogRecordFactory(LogRecord)
     # force=True: absl/tensorboard may already have installed root handlers,

@@ -23,6 +23,10 @@ def parse_args():
     parser.add_argument("-m", "--model", help="network model")
     parser.add_argument("-p", "--pipeline", default="Simulator")
     parser.add_argument("-d", "--dataset", help="dataset")
+    parser.add_argument("--cfg_model", help="path to the model config")
+    parser.add_argument("--cfg_pipeline",
+                        help="path to the pipeline config")
+    parser.add_argument("--cfg_dataset", help="path to the dataset config")
     parser.add_argument("--dataset_path", help="path to the dataset")
     parser.add_argument("--ckpt_path", help="path to the checkpoint")
     parser.add_argument("--device", default="tpu",
@@ -68,12 +72,24 @@ def main():
 
     setup_logging()
 
-    if args.cfg_file is None:
-        raise ValueError("please provide --cfg_file")
-
-    cfg = Config.load_from_file(args.cfg_file)
-    cfg_dataset, cfg_pipeline, cfg_model = Config.merge_cfg_file(
-        cfg, args, extra_dict)
+    if args.cfg_file is not None:
+        cfg = Config.load_from_file(args.cfg_file)
+        cfg_dataset, cfg_pipeline, cfg_model = Config.merge_cfg_file(
+            cfg, args, extra_dict)
+    elif args.cfg_model or args.cfg_pipeline or args.cfg_dataset:
+        # sectionless per-module config files (reference
+        # run_pipeline.py:122-140)
+        cfg_dataset, cfg_pipeline, cfg_model = Config.merge_module_cfg_file(
+            args, extra_dict)
+        cfg = Config({"dataset": cfg_dataset.to_dict(),
+                      "pipeline": cfg_pipeline.to_dict(),
+                      "model": cfg_model.to_dict()})
+        if args.model:
+            cfg_model.name = args.model
+        if args.pipeline:
+            cfg_pipeline.name = args.pipeline
+    else:
+        raise ValueError("please provide --cfg_file or per-module configs")
 
     Pipeline = PIPELINES[cfg_pipeline.get("name", "Simulator")]
 

@@ -152,3 +152,30 @@ class TestGridPos:
         # centers at half-voxel positions
         frac = (got[:, :2] / 0.05) % 1.0
         np.testing.assert_allclose(frac, 0.5, atol=1e-5)
+
+
+class TestApproxVel:
+    def test_identical_sets_zero_displacement(self):
+        from dmcf_tpu.ops.emd import approx_vel
+        pts = rand_pts(32, 20)[None]
+        v = np.asarray(approx_vel(jnp.asarray(pts), jnp.asarray(pts)))
+        assert np.abs(v).max() < 5e-3
+
+    def test_translation_recovered(self):
+        from dmcf_tpu.ops.emd import approx_vel
+        pts = rand_pts(32, 21)[None]
+        shifted = pts + np.array([3.0, 0, 0], np.float32)
+        v = np.asarray(approx_vel(jnp.asarray(pts), jnp.asarray(shifted)))
+        # soft matching blurs within the cloud extent (+-0.5 per axis)
+        np.testing.assert_allclose(v[0, :, 0], 3.0, atol=1.0)
+        assert abs(v[0, :, 0].mean() - 3.0) < 0.15
+
+
+class TestGridPosBnds:
+    def test_unique_round_cells(self):
+        from dmcf_tpu.ops.sph import grid_pos_bnds
+        pts = jnp.asarray([[0.01, 0.0, 0.0], [0.012, 0.0, 0.0],
+                           [0.1, 0.0, 0.0]], dtype=jnp.float32)
+        gp, gm, gc = grid_pos_bnds(pts, jnp.ones(3, bool),
+                                   [0.05, 0.05, 0.05], out_max=8)
+        assert int(gc) == 2  # first two round to the same cell
