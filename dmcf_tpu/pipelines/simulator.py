@@ -195,6 +195,9 @@ class Simulator(BasePipeline):
         test_data = get_rollout(self.dataset.test, **dg_cfg, **test_cfg)
 
         if epoch is None:
+            if self.params is None:
+                # template for device-agnostic checkpoint restore
+                self.params = self._init_params_from_rollout(test_data[0])
             epoch = self.load_ckpt(self.model_cfg.get("ckpt_path"))
         log.info("Started testing")
 
@@ -236,6 +239,8 @@ class Simulator(BasePipeline):
         valid_data = get_rollout(self.dataset.valid, **dg_cfg, **valid_cfg)
 
         if epoch is None:
+            if self.params is None:
+                self.params = self._init_params_from_rollout(valid_data[0])
             epoch = self.load_ckpt(self.model_cfg.get("ckpt_path"))
         log.info("Started validation")
 
@@ -507,6 +512,28 @@ class Simulator(BasePipeline):
                 self.run_test(epoch)
 
         train_loader.close()
+
+    def _init_params_from_rollout(self, data, bucket=64):
+        """Init parameter + optimizer-state templates from a rollout
+        sequence (eval-mode checkpoint restores need a target pytree
+        matching the saved tree so orbax places arrays on the current
+        backend instead of the saved device)."""
+        state = pad_rollout_state(data, bucket=bucket)
+        s = {"pos": jnp.asarray(state["pos"][0]),
+             "vel": jnp.asarray(state["vel"][0]),
+             "box": jnp.asarray(state["box"]),
+             "box_normals": jnp.asarray(state["box_normals"]),
+             "fluid_mask": jnp.asarray(state["fluid_mask"]),
+             "box_mask": jnp.asarray(state["box_mask"])}
+        if state["grav"] is not None:
+            s["grav"] = jnp.asarray(state["grav"][0])
+        init = jax.jit(lambda key, x: self.model.init(key, x,
+                                                      training=False))
+        params = init(jax.random.PRNGKey(int(self.cfg.get("seed", 42))), s)
+        if self.optimizer is None:
+            self.optimizer = self._get_optimizer()
+            self.opt_state = self.optimizer.init(params)
+        return params
 
     def _init_params(self, loader):
         batch = next(loader)
