@@ -100,15 +100,18 @@ class TestDataParallel:
                                      window=window)
         opt_state = optimizer.init(params)
 
-        # single-device result
+        # the train step donates params/opt_state; device_put to the same
+        # sharding aliases buffers, so force genuine copies
+        mesh = make_mesh(jax.devices())
+        repl = replicated_sharding(mesh)
+        params_r = jax.device_put(jax.tree.map(jnp.copy, params), repl)
+        opt_r = jax.device_put(jax.tree.map(jnp.copy, opt_state), repl)
+
+        # single-device result (consumes the originals)
         p1, _, lvec1, _ = train_step(params, opt_state, batch, time_w)
 
         # data-parallel: batch sharded over the mesh
-        mesh = make_mesh(jax.devices())
         dbatch = shard_batch(batch, mesh)
-        repl = replicated_sharding(mesh)
-        params_r = jax.device_put(params, repl)
-        opt_r = jax.device_put(opt_state, repl)
         p8, _, lvec8, _ = train_step(params_r, opt_r, dbatch, time_w)
 
         np.testing.assert_allclose(np.asarray(lvec8), np.asarray(lvec1),
