@@ -346,9 +346,18 @@ def pad_rollout_state(data, bucket=64):
 
 
 class Prefetcher:
-    """Background-thread sample prefetch + batch assembly (replaces the
-    reference's tensorpack MultiProcessRunnerZMQ; generation here is light
-    numpy work, so threads suffice and avoid spawn overhead)."""
+    """Background sample prefetch + batch assembly (replaces the reference's
+    tensorpack ``MultiProcessRunnerZMQ(num_workers)`` + ``BatchData``,
+    dataset_reader_physics.py:508-515).
+
+    ``num_workers`` worker threads each run an independent sampler stream
+    (distinct seeds, like the reference's per-process rngs) into a shared
+    sample queue; a batcher thread assembles fixed-shape padded batches.
+    The heavy per-sample work — window slicing, augmentation, copies — is
+    numpy on large arrays, which releases the GIL, so worker threads
+    genuinely overlap on multi-core hosts while avoiding process-spawn /
+    IPC-serialization overhead for the ~MB-sized samples.
+    """
 
     def __init__(self, sampler_fn, batch_size, bucket=64, t_total=None,
                  repeat=True, shuffle_buffer=None, num_workers=1, depth=4):
@@ -357,15 +366,29 @@ class Prefetcher:
         self.bucket = bucket
         self.t_total = t_total
         self.repeat = repeat
-        self.shuffle_buffer = shuffle_buffer
+        self.num_workers = max(int(num_workers or 1), 1)
+        self.shuffle_buffer = (
+            max(shuffle_buffer // self.num_workers, 1)
+            if shuffle_buffer else shuffle_buffer)
         self.q = queue.Queue(maxsize=depth)
+        self._sample_q = queue.Queue(
+            maxsize=max(depth * batch_size, 2 * batch_size))
         self._stop = threading.Event()
-        self.thread = threading.Thread(target=self._worker, daemon=True)
-        self.thread.start()
+        self.threads = [
+            threading.Thread(target=self._sample_worker, args=(w,),
+                             daemon=True)
+            for w in range(self.num_workers)
+        ]
+        self.threads.append(threading.Thread(target=self._batcher,
+                                             daemon=True))
+        for t in self.threads:
+            t.start()
 
-    def _sample_stream(self):
+    def _sample_stream(self, worker_idx):
+        rng = np.random.RandomState(
+            (worker_idx * 7919 + 13) & 0x7FFFFFFF)
         while True:
-            it = iter(self.sampler_fn())
+            it = iter(self.sampler_fn(worker_idx))
             if self.shuffle_buffer:
                 buf = []
                 for s in it:
@@ -373,7 +396,7 @@ class Prefetcher:
                         return
                     buf.append(s)
                     if len(buf) >= self.shuffle_buffer:
-                        i = np.random.randint(len(buf))
+                        i = rng.randint(len(buf))
                         yield buf.pop(i)
                 while buf:
                     yield buf.pop()
@@ -385,10 +408,24 @@ class Prefetcher:
             if not self.repeat:
                 return
 
-    def _worker(self):
+    def _sample_worker(self, worker_idx):
         try:
-            batch = []
-            for s in self._sample_stream():
+            for s in self._sample_stream(worker_idx):
+                self._sample_q.put(s)
+                if self._stop.is_set():
+                    return
+        finally:
+            self._sample_q.put(None)  # per-worker end-of-stream marker
+
+    def _batcher(self):
+        done_workers = 0
+        batch = []
+        try:
+            while done_workers < self.num_workers:
+                s = self._sample_q.get()
+                if s is None:
+                    done_workers += 1
+                    continue
                 batch.append(s)
                 if len(batch) == self.batch_size:
                     self.q.put(batch_samples(batch, self.bucket,
@@ -412,11 +449,12 @@ class Prefetcher:
 
     def close(self):
         self._stop.set()
-        try:
-            while True:
-                self.q.get_nowait()
-        except queue.Empty:
-            pass
+        for q in (self._sample_q, self.q):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def get_dataloader(dataset, batch_size=1, window=1, repeat=False,
@@ -429,11 +467,12 @@ def get_dataloader(dataset, batch_size=1, window=1, repeat=False,
     max_pre = max_pre_frames if max_pre_frames is not None else pre_frames
     t_total = pre_frames + window + 1
 
-    def make_sampler():
+    def make_sampler(worker_idx=0):
+        wseed = None if seed is None else int(seed) + worker_idx
         return WindowSampler(dataset, window=window, pre_frames=pre_frames,
                              stride=stride, shuffle=bool(shuffle_buffer),
                              augment=augment, translate=translate,
-                             scale=scale, grav_eqvar=grav_eqvar, seed=seed,
+                             scale=scale, grav_eqvar=grav_eqvar, seed=wseed,
                              sample_cnt=kwargs.get("sample_cnt"))
 
     return Prefetcher(make_sampler, batch_size, bucket=bucket,

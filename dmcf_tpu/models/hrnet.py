@@ -71,6 +71,9 @@ class HRNet(PBFNet):
 
     def _pair_neighbors(self, ctx, inp_scale, out_scale, radius,
                         ignore_query=False):
+        """Neighbor list + shared tap tensor for a scale pair — both cached
+        per step, so the trunk's ~N convs over ~9 distinct pairs pay for
+        search and interpolation geometry once per pair."""
         nl = ctx["cache"].get(
             f"dilated{inp_scale}", f"dilated{out_scale}", radius,
             ctx["dilated_pos"][inp_scale], ctx["dilated_mask"][inp_scale],
@@ -79,7 +82,12 @@ class HRNet(PBFNet):
             from .pbf import drop_coincident
             nl = drop_coincident(nl, ctx["dilated_pos"][inp_scale],
                                  ctx["dilated_pos"][out_scale])
-        return nl
+        taps = self.pair_taps(
+            ctx["cache"], f"dilated{inp_scale}", f"dilated{out_scale}", nl,
+            2.0 * radius, ctx["dilated_pos"][inp_scale],
+            ctx["dilated_pos"][out_scale], window_name=self.window,
+            ignore_query=ignore_query)
+        return nl, taps
 
     def forward(self, ctx, data, training=True):
         pos = ctx["dilated_pos"]
@@ -109,12 +117,13 @@ class HRNet(PBFNet):
                             [f, f / dens[inp_scale] ** 2], axis=-1)
                     f = jnp.where(masks[inp_scale][:, None], f, 0.0)
                     conv = self.convs[layer][scale][0][inp_scale]
-                    nl = self._pair_neighbors(
+                    nl, taps = self._pair_neighbors(
                         ctx, inp_scale, scale, ext / 2.0,
                         ignore_query=self.ignore_query_points
                         and scale == inp_scale)
                     ans_conv = conv(f * importance, pos[inp_scale],
-                                    pos[scale], ext, neighbors=nl)
+                                    pos[scale], ext, neighbors=nl,
+                                    taps=taps)
                     if layer < len(self.denses):
                         if scale == inp_scale:
                             ans_conv = ans_conv + self.denses[layer][scale][
@@ -154,11 +163,11 @@ class HRNet(PBFNet):
                 for k in range(1, len(self.convs[layer][scale])):
                     f = jnp.where(masks[scale][:, None], ans[-1], 0.0)
                     conv = self.convs[layer][scale][k][0]
-                    nl = self._pair_neighbors(
+                    nl, taps = self._pair_neighbors(
                         ctx, scale, scale, ext / 2.0,
                         ignore_query=self.ignore_query_points)
                     ans_conv = conv(f * importance, pos[scale], pos[scale],
-                                    ext, neighbors=nl)
+                                    ext, neighbors=nl, taps=taps)
                     ans_conv = ans_conv + self.denses[layer][scale][k][0](
                         ans[-1])
                     if len(ans_convs[-1]) > scale and \

@@ -54,6 +54,10 @@ class ContinuousConv(nn.Module):
     sym_axis: int = 2
     circular: bool = False
     kernel_init: Callable = _uniform_init()
+    # matmul precision for the conv contractions.  'highest' = fp32-exact
+    # (required for the ASCC momentum guarantee); 'default' = single-pass
+    # bf16 MXU (fast path for trunk convs, ~1e-3 rel. error).
+    precision: Optional[str] = "highest"
 
     @nn.compact
     def __call__(self,
@@ -63,7 +67,8 @@ class ContinuousConv(nn.Module):
                  extents,
                  neighbors: NeighborList,
                  inp_importance=None,
-                 query_features=None):
+                 query_features=None,
+                 taps=None):
         cin = inp_features.shape[-1]
         ks = tuple(int(k) for k in self.kernel_size)
 
@@ -102,6 +107,8 @@ class ContinuousConv(nn.Module):
             symmetric=symmetric_conv,
             query_features=(query_features if query_features is not None
                             else (inp_features if symmetric_conv else None)),
+            precision=self.precision,
+            taps=taps,
         )
 
         if self.use_bias:

@@ -85,6 +85,31 @@ def density_loss(gt, pred, gt_mask, pred_mask, gt_in=None, pred_in=None,
     return fac * _masked_mean(err, pred_mask)
 
 
+def hist_loss(target, pred, mask=None, fac=1.0, bin_size=25, **kw):
+    """Velocity/position-distribution histogram KL (reference
+    utils/tools/losses.py:107-108 -> evaluation_helper.compare_dist).
+
+    Eval-only, like the reference's: ``compare_dist`` is host-side numpy
+    (percentile binning with data-dependent shapes), so this cannot run
+    under jit — the reference's registry entry would equally crash inside
+    its tf.function trainer; no shipped config enables it for training.
+    """
+    import numpy as np
+
+    try:
+        target = np.asarray(target)
+        pred = np.asarray(pred)
+    except Exception as e:  # jax tracers cannot be materialized
+        raise RuntimeError(
+            "hist loss is eval-only (host-side numpy histogram); use it "
+            "outside jit, e.g. in run_valid") from e
+    if mask is not None:
+        m = np.asarray(mask).astype(bool)
+        target, pred = target[m], pred[m]
+    from ..pipelines.metrics import compare_dist
+    return fac * compare_dist(target, pred, bin_size=bin_size)
+
+
 def get_loss(typ, fac=1.0, **kwargs):
     """Loss factory keyed by config ``typ`` (reference
     utils/tools/losses.py:47-110)."""
@@ -107,4 +132,6 @@ def get_loss(typ, fac=1.0, **kwargs):
     if typ == "emd":
         from ..ops.emd import emd_loss
         return partial(emd_loss, **kwargs)
+    if typ == "hist":
+        return partial(hist_loss, fac=fac, **kwargs)
     raise NotImplementedError(f"unknown loss: {typ}")

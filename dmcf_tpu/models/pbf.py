@@ -35,6 +35,7 @@ import numpy as np
 from ..ops import (align_vector, compute_pressure,
                    compute_transformed_dx, get_dilated_pos, masked_positions,
                    point_sampling)
+from ..ops.cconv import build_tap_tensor
 from ..ops.neighbors import NeighborList
 from ..ops.windows import get_window_func
 from .layers import ContinuousConv, Dense
@@ -62,12 +63,16 @@ def drop_coincident(nl: NeighborList, points, queries) -> NeighborList:
 
 
 class SearchCache:
-    """Trace-time cache: one fixed-radius search per (src, dst, radius)."""
+    """Trace-time cache: one fixed-radius search per (src, dst, radius) and
+    one conv tap tensor per (pair, radius, window, filter size) — every conv
+    over the same geometry reuses both (the reference re-searches and
+    re-interpolates inside every conv call, utils/convolutions.py:352-379)."""
 
     def __init__(self, k: int, method: str = "auto"):
         self.k = k
         self.method = method
         self._cache: Dict[Tuple, NeighborList] = {}
+        self._taps: Dict[Tuple, jax.Array] = {}
 
     def get(self, src_name, dst_name, radius, points, pmask, queries, qmask):
         key = (src_name, dst_name, float(radius))
@@ -77,6 +82,11 @@ class SearchCache:
                 points, queries, radius, self.k, method=self.method,
                 points_mask=pmask, queries_mask=qmask)
         return self._cache[key]
+
+    def taps(self, key, builder):
+        if key not in self._taps:
+            self._taps[key] = builder()
+        return self._taps[key]
 
 
 class PBFNet(nn.Module):
@@ -134,7 +144,11 @@ class PBFNet(nn.Module):
     # scale-0 size; scalar or per-scale list.  Truncation is tracked via
     # aux['scale_counts'] (counts exceeding the cap mean lost voxels).
     scale_size_factor: Any = 1.0
-    precision: str = "highest"
+    # trunk conv matmul precision: 'default' = single-pass bf16 MXU passes
+    # (fast path; ~1e-3 rel. error — fine for learned features), 'highest' =
+    # fp32-exact multi-pass.  Conservation-critical convs (the ASCC output
+    # stack) pin 'highest' regardless — see SymNet.setup_net.
+    precision: str = "default"
     search_method: str = "auto"  # brute | grid | auto (by problem size)
 
     # ------------------------------------------------------------------
@@ -189,9 +203,8 @@ class PBFNet(nn.Module):
         fluid_max = jnp.max(p, axis=0) + ext
         in_range = box_mask & jnp.all((box >= fluid_min) &
                                       (box <= fluid_max), axis=-1)
-        dummy = jnp.zeros_like(in_range, jnp.float32)
         idx, mask, _, count = select_k_valid(
-            in_range[None, :], dummy[None, :], self.boundary_crop_max)
+            in_range[None, :], None, self.boundary_crop_max)
         idx, mask = idx[0], mask[0]
         return box[idx], bfeats[idx], mask, count[0]
 
@@ -210,9 +223,15 @@ class PBFNet(nn.Module):
                    symmetric=False,
                    sym_axis=2,
                    use_bias=True,
-                   circular=None):
+                   circular=None,
+                   precision=None):
         """Conv factory mirroring reference ``get_cconv``
-        (models/pbf_model.py:197-224)."""
+        (models/pbf_model.py:197-224).
+
+        ``precision`` defaults to the model-level knob; the ASCC output
+        convs pin ``'highest'`` explicitly so the momentum guarantee holds
+        even when the trunk runs single-pass bf16 MXU matmuls.
+        """
         return ContinuousConv(
             name=name,
             filters=filters,
@@ -226,7 +245,22 @@ class PBFNet(nn.Module):
             symmetric=symmetric,
             sym_axis=sym_axis,
             circular=self.circular if circular is None else circular,
+            precision=precision if precision is not None else self.precision,
         )
+
+    def pair_taps(self, cache, src_name, dst_name, nl, extents, inp_pos,
+                  out_pos, window_name=None, filter_size=None,
+                  ignore_query=False):
+        """Memoized conv tap tensor for a (pair, radius, window, filter-size)
+        combination — shared by every conv of the step over that geometry."""
+        fsz = tuple(int(x) for x in (filter_size or self.kernel_size))
+        key = (src_name, dst_name, float(extents), window_name, fsz,
+               bool(ignore_query))
+        return cache.taps(key, lambda: build_tap_tensor(
+            out_pos, inp_pos, nl, extents, fsz,
+            window_fn=get_window_func(window_name),
+            coordinate_mapping=self.coordinate_mapping,
+            interpolation=self.interpolation, align_corners=True))
 
     # ------------------------------------------------------------------
     # physics
@@ -371,6 +405,11 @@ class PBFNet(nn.Module):
         # displacement, and the ASCC output layer.
         nl_all0 = cache.get("all", "all", r0, all_pos, all_mask, all_pos,
                             all_mask)
+        if self.strides[0] == 1 and self.use_bnds:
+            # scale 0 of the pyramid IS all_pos (stride 1): seed the cache so
+            # HRNet's dilated0->dilated0 pair reuses this list instead of
+            # re-searching the largest pair of the step
+            cache._cache[("dilated0", "dilated0", float(r0))] = nl_all0
         nl_fluid0 = subset_neighbors(nl_all0, lambda i, d: i < n_fluid)
         nl_box0 = subset_neighbors(nl_all0, lambda i, d: i >= n_fluid)
 
@@ -416,12 +455,21 @@ class PBFNet(nn.Module):
             feats = fluid_feats
         else:
             conv_kw = dict(extents=filter_extent[0])
+            # one tap tensor for the all->all pair; the fluid->all and
+            # box->all convs carve their subsets out by mask (the pair
+            # geometry/window values are identical)
+            taps_all0 = self.pair_taps(cache, "all", "all", nl_all0,
+                                       filter_extent[0], all_pos, all_pos,
+                                       window_name=self.window)
+            taps_fluid0 = taps_all0 * nl_fluid0.mask[..., None]
+            taps_box0 = taps_all0 * nl_box0.mask[..., None]
             ans_conv = self.fluid_convs(fluid_feats * self.part_scale, pos,
                                         all_pos, neighbors=nl_fluid0,
-                                        **conv_kw)
+                                        taps=taps_fluid0, **conv_kw)
             ans_dense = self.fluid_dense(fluid_feats)
             ans_obs = self.obs_convs(box_feats * self.part_scale, box_pos,
-                                     all_pos, neighbors=nl_box0, **conv_kw)
+                                     all_pos, neighbors=nl_box0,
+                                     taps=taps_box0, **conv_kw)
             ans_dense_obs = self.obs_dense(box_feats)
             ans_dense = jnp.concatenate([ans_dense, ans_dense_obs], axis=0)
 
@@ -559,6 +607,8 @@ class PBFNet(nn.Module):
             "scale_counts": jnp.stack([jnp.asarray(c, jnp.int32)
                                        for c in ctx["dilated_count"]]),
         }
+        if ctx["nl_all0"].cell_overflow is not None:
+            aux["cell_overflow"] = jnp.max(ctx["nl_all0"].cell_overflow)
         if ctx.get("boundary_crop_count") is not None:
             aux["boundary_crop_count"] = ctx["boundary_crop_count"]
         return pos_out, vel_out, aux

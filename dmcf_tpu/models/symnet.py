@@ -39,7 +39,11 @@ class SymNet(HRNet):
                             kernel_size=self.sym_kernel_size,
                             ignore_query_points=True,
                             window_func=self.window_sym,
-                            sym_axis=self.sym_axis)
+                            sym_axis=self.sym_axis,
+                            # momentum conservation requires fp32-exact
+                            # pairwise cancellation (ops/cconv.py precision
+                            # note); never relax with the trunk knob
+                            precision="highest")
             for i, ch in enumerate(self.sym_channels)
         ]
 
@@ -57,11 +61,15 @@ class SymNet(HRNet):
         # coincident points dropped (ignore_query_points=True)
         from .pbf import drop_coincident
         nl = drop_coincident(ctx["nl_all0"], all_pos, all_pos)
+        taps = self.pair_taps(ctx["cache"], "all", "all", nl, ext, all_pos,
+                              all_pos, window_name=self.window_sym,
+                              filter_size=self.sym_kernel_size,
+                              ignore_query=True)
 
         for conv in self.sym_convs:
             ans = jax.nn.relu(ans)
             ans = jnp.where(all_mask[:, None], ans, 0.0)
             ans = conv(ans * self.part_scale, all_pos, all_pos, ext,
-                       neighbors=nl)
+                       neighbors=nl, taps=taps)
 
         return _act(self.out_activation)(ans)

@@ -86,6 +86,65 @@ def _tap_weights(rel, filter_size, mapping, interpolation, align_corners,
     return wz, wy, wx
 
 
+def build_tap_tensor(out_positions,
+                     inp_positions,
+                     neighbors: NeighborList,
+                     extents,
+                     filter_size,
+                     *,
+                     window_fn=None,
+                     coordinate_mapping: str = "ball_to_cube_volume_preserving",
+                     interpolation: str = "linear",
+                     align_corners: bool = True,
+                     offset=None,
+                     inp_importance=None,
+                     dtype=jnp.float32):
+    """Dense per-neighbor tap tensor ``A[q, k, s] = a_qk * w_qk(s)``.
+
+    The geometry-only half of :func:`continuous_conv`: it depends on the
+    neighbor list, positions, extent, window and filter size — NOT on the
+    features or the kernel.  All convolutions of a step sharing a
+    (point-set pair, radius, window) therefore share one tap tensor; callers
+    cache it and pass it via ``continuous_conv(..., taps=A)``, which avoids
+    re-gathering neighbor positions and re-deriving interpolation weights
+    per conv (a dominant cost of the HRNet trunk, which evaluates up to
+    ~24 convs over ~9 distinct pairs per step; the reference rebuilds — and
+    re-searches — per conv call, utils/convolutions.py:352-379).
+    """
+    fz, fy, fx = (int(filter_size[0]), int(filter_size[1]),
+                  int(filter_size[2]))
+    s_total = fz * fy * fx
+    idx, mask = neighbors.idx, neighbors.mask
+    q, k = idx.shape
+
+    extents = jnp.asarray(extents, dtype=inp_positions.dtype)
+    radius = 0.5 * extents
+    if extents.ndim == 0:
+        rel_scale = 1.0 / radius
+        r_sq = radius * radius
+    else:
+        rel_scale = (1.0 / radius)[:, None, None]
+        r_sq = (radius * radius)[:, None]
+
+    nbr_pos = inp_positions[idx]  # [Q, K, 3]
+    rel = (nbr_pos - out_positions[:, None, :]) * rel_scale
+
+    wz, wy, wx = _tap_weights(rel, (fz, fy, fx), coordinate_mapping,
+                              interpolation, align_corners, offset)
+
+    a = mask.astype(dtype)
+    if window_fn is not None:
+        q_norm = neighbors.dist / r_sq  # L2: squared dist / r^2
+        a = a * window_fn(q_norm).astype(dtype)
+    if inp_importance is not None:
+        a = a * inp_importance[idx].astype(dtype)
+
+    wzy = wz[..., :, None] * wy[..., None, :]
+    A = (wzy.reshape(q, k, fz * fy)[..., :, None]
+         * wx[..., None, :]).reshape(q, k, s_total)
+    return (A * a[..., None]).astype(dtype)
+
+
 def continuous_conv(kernel,
                     out_positions,
                     inp_positions,
@@ -103,7 +162,8 @@ def continuous_conv(kernel,
                     symmetric: bool = False,
                     query_features=None,
                     out_dtype=None,
-                    precision="highest"):
+                    precision="highest",
+                    taps=None):
     """Evaluate the continuous convolution at ``out_positions``.
 
     Args:
@@ -127,6 +187,12 @@ def continuous_conv(kernel,
         momentum budget; 'highest' (bf16x6 / fp32-exact) keeps the pairwise
         cancellation at fp32 accuracy.  Set to None/'default' to trade
         accuracy for MXU throughput on non-conservation-critical convs.
+      taps: optional precomputed tap tensor from :func:`build_tap_tensor`
+        (shared across convs over the same pair/radius/window).  When given,
+        the geometry inputs (positions, window_fn, mapping, interpolation,
+        offset, inp_importance) are ignored — the caller guarantees they
+        match the ones the taps were built with.  Incompatible with
+        ``normalize`` (the per-pair importances are already folded in).
 
     Returns:
       [Q, Cout] output features.
@@ -140,35 +206,40 @@ def continuous_conv(kernel,
     idx, mask = neighbors.idx, neighbors.mask
     q, k = idx.shape
 
-    extents = jnp.asarray(extents, dtype=inp_positions.dtype)
-    radius = 0.5 * extents
-    if extents.ndim == 0:
-        inv_radius = 1.0 / radius
-        rel_scale = inv_radius
-        r_sq = radius * radius
+    if taps is not None:
+        if normalize:
+            raise ValueError("taps= is incompatible with normalize=True")
+        A = taps.astype(dtype)
+        a = None
     else:
-        rel_scale = (1.0 / radius)[:, None, None]
-        r_sq = (radius * radius)[:, None]
+        extents = jnp.asarray(extents, dtype=inp_positions.dtype)
+        radius = 0.5 * extents
+        if extents.ndim == 0:
+            rel_scale = 1.0 / radius
+            r_sq = radius * radius
+        else:
+            rel_scale = (1.0 / radius)[:, None, None]
+            r_sq = (radius * radius)[:, None]
 
-    nbr_pos = inp_positions[idx]  # [Q, K, 3]
-    rel = (nbr_pos - out_positions[:, None, :]) * rel_scale
+        nbr_pos = inp_positions[idx]  # [Q, K, 3]
+        rel = (nbr_pos - out_positions[:, None, :]) * rel_scale
 
-    wz, wy, wx = _tap_weights(rel, filter_size, coordinate_mapping,
-                              interpolation, align_corners, offset)
+        wz, wy, wx = _tap_weights(rel, filter_size, coordinate_mapping,
+                                  interpolation, align_corners, offset)
 
-    # per-pair importance a_ik
-    a = mask.astype(dtype)
-    if window_fn is not None:
-        q_norm = neighbors.dist / r_sq  # L2: squared dist / r^2
-        a = a * window_fn(q_norm).astype(dtype)
-    if inp_importance is not None:
-        a = a * inp_importance[idx].astype(dtype)
+        # per-pair importance a_ik
+        a = mask.astype(dtype)
+        if window_fn is not None:
+            q_norm = neighbors.dist / r_sq  # L2: squared dist / r^2
+            a = a * window_fn(q_norm).astype(dtype)
+        if inp_importance is not None:
+            a = a * inp_importance[idx].astype(dtype)
 
-    # dense tap tensor A: [Q, K, S]
-    wzy = wz[..., :, None] * wy[..., None, :]
-    A = (wzy.reshape(q, k, filter_size[0] * filter_size[1])[..., :, None]
-         * wx[..., None, :]).reshape(q, k, s_total)
-    A = A * a[..., None]
+        # dense tap tensor A: [Q, K, S]
+        wzy = wz[..., :, None] * wy[..., None, :]
+        A = (wzy.reshape(q, k, filter_size[0] * filter_size[1])[..., :, None]
+             * wx[..., None, :]).reshape(q, k, s_total)
+        A = A * a[..., None]
 
     f = inp_features[idx].astype(dtype)  # [Q, K, Cin]
 

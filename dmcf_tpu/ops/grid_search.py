@@ -129,10 +129,11 @@ def grid_fixed_radius_search(points,
             valid &= dist > 0
         valid &= qmask[:, None]
 
-        from .neighbors import select_k_valid
-        sel, mask_k, dist_k, count = select_k_valid(valid, dist, k)
+        from .neighbors import _recompute_dist, select_k_valid
+        sel, mask_k, _, count = select_k_valid(valid, None, k)
         idx = jnp.where(mask_k,
                         order[jnp.take_along_axis(flat, sel, axis=1)], 0)
+        dist_k = _recompute_dist(points, qs, idx, mask_k, metric)
         return idx, mask_k, dist_k, count, jnp.sum(cell_over, axis=1)
 
     if q <= query_chunk:
@@ -153,6 +154,5 @@ def grid_fixed_radius_search(points,
         count = count.reshape(-1)[:q]
         cell_over = cell_over.reshape(-1)[:q]
 
-    nl = NeighborList(idx=idx.astype(jnp.int32), mask=mask_k, dist=dist_k,
-                      count=count)
-    return nl
+    return NeighborList(idx=idx.astype(jnp.int32), mask=mask_k, dist=dist_k,
+                        count=count, cell_overflow=cell_over)

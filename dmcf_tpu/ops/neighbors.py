@@ -34,12 +34,17 @@ class NeighborList(NamedTuple):
            (matching Open3D's return_distances convention); 0 where invalid.
     count: [Q] int32 true number of in-radius neighbors (before K capping);
            count > K indicates overflow (lost neighbors).
+    cell_overflow: optional [Q] int32 — number of candidate slots dropped by
+           the grid search's per-cell cap (grid_search.py); > 0 means
+           potentially lost neighbors even when count <= K.  None for
+           searches without cell structure.
     """
 
     idx: jax.Array
     mask: jax.Array
     dist: jax.Array
     count: jax.Array
+    cell_overflow: jax.Array = None
 
     @property
     def overflow(self):
@@ -68,7 +73,15 @@ def select_k_valid(valid, dist, k):
     arbitrary K-subset survives (overflow is tracked and is an error
     condition regardless).
 
-    Returns (idx [Q,K] int32 column indices, mask [Q,K], dist_k [Q,K]).
+    ``dist`` may be None to skip the per-element distance gather — profiling
+    shows ``take_along_axis`` element-gathers from the wide [Q, N] distance
+    matrix are the single hottest op of a simulation step (~1.6 ms per
+    search at WaterRamps scale); callers that know the point coordinates
+    recompute the K selected distances from [N, 3] row gathers instead
+    (~12x cheaper).
+
+    Returns (idx [Q,K] int32 column indices, mask [Q,K], dist_k [Q,K]|None,
+    count [Q]).
     """
     count = jnp.sum(valid, axis=1, dtype=jnp.int32)
     csum = jnp.cumsum(valid.astype(jnp.int32), axis=1)
@@ -79,8 +92,23 @@ def select_k_valid(valid, dist, k):
                                                 method="compare_all"))(csum)
     mask = targets[None, :] <= count[:, None]
     idx = jnp.where(mask, idx, 0).astype(jnp.int32)
+    if dist is None:
+        return idx, mask, None, count
     dist_k = jnp.where(mask, jnp.take_along_axis(dist, idx, axis=1), 0.0)
     return idx, mask, dist_k, count
+
+
+def _recompute_dist(points, queries, idx, mask, metric):
+    """Exact per-neighbor distance from gathered positions (squared for L2,
+    matching Open3D's return convention)."""
+    d = points[idx] - queries[:, None, :]
+    if metric == "L2":
+        dist = jnp.sum(d * d, axis=-1)
+    elif metric == "L1":
+        dist = jnp.sum(jnp.abs(d), axis=-1)
+    else:
+        dist = jnp.max(jnp.abs(d), axis=-1)
+    return jnp.where(mask, dist, 0.0)
 
 
 def fixed_radius_search(points,
@@ -137,7 +165,8 @@ def fixed_radius_search(points,
             valid &= jnp.logical_not(same)
         if queries_mask is not None:
             valid &= queries_mask.astype(bool)[:, None]
-        idx, mask, dist, count = select_k_valid(valid, d, k)
+        idx, mask, _, count = select_k_valid(valid, None, k)
+        dist = _recompute_dist(points, queries, idx, mask, metric)
         return NeighborList(idx=idx, mask=mask, dist=dist, count=count)
 
     chunk = min(chunk, max(n, 1))

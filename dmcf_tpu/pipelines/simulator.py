@@ -131,17 +131,20 @@ class Simulator(BasePipeline):
         if key not in self._jit_cache:
             def roll(params, state):
                 def body(carry, _):
-                    pos, vel = carry
+                    pos, vel, mx, av = carry
                     s = dict(state)
                     s["pos"], s["vel"] = pos, vel
-                    p, v, _ = self._model_step(params, s)
-                    return (p, v), (p, v)
-                (_, _), (ps, vs) = jax.lax.scan(
-                    body, (state["pos"], state["vel"]), None,
-                    length=timesteps - 1)
+                    p, v, aux = self._model_step(params, s)
+                    mx = jnp.maximum(mx, aux["neighbor_overflow"])
+                    av = av + aux["avg_neighbors"]
+                    return (p, v, mx, av), (p, v)
+                (_, _, mx, av), (ps, vs) = jax.lax.scan(
+                    body, (state["pos"], state["vel"],
+                           jnp.asarray(0, jnp.int32), jnp.asarray(0.0)),
+                    None, length=timesteps - 1)
                 ps = jnp.concatenate([state["pos"][None], ps], 0)
                 vs = jnp.concatenate([state["vel"][None], vs], 0)
-                return ps, vs
+                return ps, vs, mx, av / max(timesteps - 1, 1)
             self._jit_cache[key] = jax.jit(roll)
         return self._jit_cache[key]
 
@@ -174,16 +177,36 @@ class Simulator(BasePipeline):
                                                    strip).compile()
             compiled = self._jit_cache[ckey]
             t0 = time.time()
-            ps, vs = compiled(self.params, strip)
+            ps, vs, max_nbr, avg_nbr = compiled(self.params, strip)
             jax.block_until_ready(ps)
             dt = (time.time() - t0) / max(timesteps - 1, 1)
             timings.append(dt)
             n = state["n_fluid"]
+            log.info("rollout {}: max_neighbors={} avg_neighbors={:.1f} "
+                     "(K={})", len(results), int(max_nbr), float(avg_nbr),
+                     int(getattr(self.model, "neighbor_k", 0)))
+            self._check_neighbor_overflow(int(max_nbr),
+                                          f"rollout {len(results)}")
             results.append((np.asarray(ps)[:, :n], np.asarray(vs)[:, :n]))
         log.info("Average runtime: {:.5f} s/step ({:.1f} steps/s)",
                  float(np.mean(timings)), 1.0 / max(np.mean(timings), 1e-9))
         self.last_steps_per_sec = 1.0 / max(float(np.mean(timings)), 1e-9)
         return results
+
+    def _check_neighbor_overflow(self, max_neighbors, where):
+        """Silently dropped neighbors silently change the physics: warn
+        (default) or raise (``strict_overflow: true``) when the true
+        neighbor count at the finest radius exceeds the padded K budget
+        (SURVEY §7 'hard parts'; the reference's ragged lists cannot
+        overflow, so this check is the price of fixed shapes)."""
+        k = int(getattr(self.model, "neighbor_k", 0))
+        if k and max_neighbors > k:
+            msg = (f"neighbor overflow at {where}: max true neighbor count "
+                   f"{int(max_neighbors)} > neighbor_k={k}; neighbors are "
+                   f"being dropped — raise model.neighbor_k")
+            if bool(self.cfg.get("strict_overflow", False)):
+                raise RuntimeError(msg)
+            log.warning(msg)
 
     # ------------------------------------------------------------------
     # test / valid
@@ -392,8 +415,7 @@ class Simulator(BasePipeline):
                 window, its, max_err, max_dens_err)
         return self._jit_cache[shape_key]
 
-    @staticmethod
-    def _device_batch(batch):
+    def _device_batch(self, batch):
         out = {}
         for k, v in batch.items():
             if v is None:
@@ -401,7 +423,41 @@ class Simulator(BasePipeline):
             out[k] = jnp.asarray(v)
         if "grav" not in batch or batch["grav"] is None:
             out.pop("grav", None)
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel import shard_batch
+            out = shard_batch(out, self.mesh)
         return out
+
+    def _setup_data_parallel(self):
+        """Shard training across all visible devices when possible
+        (SURVEY §2.4: first-class capability the reference lacks).
+
+        ``data_parallel: auto`` (default) engages iff >1 device is visible
+        and the batch divides evenly; ``true`` requires it; ``false``
+        disables.  Params/optimizer state are placed replicated, each
+        batch is sharded over the mesh's data axis, and GSPMD derives the
+        gradient all-reduce over ICI from the shardings."""
+        mode = self.cfg.get("data_parallel", "auto")
+        n_dev = len(jax.devices())
+        bs = int(self.cfg.get("batch_size", 1))
+        if mode == "auto":
+            enable = n_dev > 1 and bs % n_dev == 0
+        else:
+            enable = bool(mode)
+        if not enable:
+            self.mesh = None
+            return
+        if bs % n_dev != 0:
+            raise ValueError(
+                f"data_parallel: batch_size {bs} not divisible by "
+                f"device count {n_dev}")
+        from ..parallel import make_mesh, replicated_sharding
+        self.mesh = make_mesh()
+        repl = replicated_sharding(self.mesh)
+        self.params = jax.device_put(self.params, repl)
+        self.opt_state = jax.device_put(self.opt_state, repl)
+        log.info("data-parallel training over {} devices "
+                 "(per-device batch {})", n_dev, bs // n_dev)
 
     def run_train(self):
         cfg = self.cfg
@@ -446,6 +502,8 @@ class Simulator(BasePipeline):
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
 
+        self._setup_data_parallel()
+
         log.info("Writing summary in {}.", self.tensorboard_dir)
         log.info("Started training")
 
@@ -484,9 +542,9 @@ class Simulator(BasePipeline):
                 if step == profile_at:
                     jax.profiler.start_trace(
                         os.path.join(cfg.logs_dir, "profile"))
-                self.params, self.opt_state, lvec, pre_eff = train_step(
-                    self.params, self.opt_state, dbatch,
-                    jnp.asarray(time_w))
+                self.params, self.opt_state, lvec, pre_eff, nbr_stats = \
+                    train_step(self.params, self.opt_state, dbatch,
+                               jnp.asarray(time_w))
                 if step == profile_at:
                     jax.block_until_ready(lvec)
                     jax.profiler.stop_trace()
@@ -505,6 +563,12 @@ class Simulator(BasePipeline):
                     losses["warmup"] = float(np.mean(batch["pre"]))
                     losses["warmup_diff"] = float(
                         np.mean(batch["pre"] - np.asarray(pre_eff)))
+                    losses["max_neighbors"] = float(
+                        nbr_stats["max_neighbors"])
+                    losses["avg_neighbors"] = float(
+                        nbr_stats["avg_neighbors"])
+                    self._check_neighbor_overflow(
+                        losses["max_neighbors"], f"train step {step}")
                     log.info("step {} - {}", step, " ".join(
                         "%s: %.5f" % (k, v) for k, v in losses.items()))
                     self.save_logs(self.writer, step, [losses], "train")
@@ -566,7 +630,12 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
 
     Signature of the returned function:
         (params, opt_state, batch, time_w) ->
-            (params, opt_state, loss_vector, pre_effective)
+            (params, opt_state, loss_vector, pre_effective, stats)
+    ``stats`` carries the neighbor-budget health of the step:
+    ``max_neighbors`` (max true neighbor count at the finest radius —
+    > neighbor_k means silently dropped neighbors) and ``avg_neighbors``
+    (the reference's per-conv ``_avg_neighbors`` debug stat,
+    utils/convolutions.py:384-388).
     All control flow is compiler-friendly: vmapped lax.while_loop warm-up,
     lax.scan window unroll with jax.checkpoint, no data-dependent Python.
     """
@@ -595,7 +664,9 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
                                       target_prev, pre_eff))
         mean = {k2: sum(d[k2] for d in losses) / len(losses)
                 for k2 in losses[0]}
-        return pos, vel, mean
+        stats = (aux["neighbor_overflow"].astype(jnp.float32),
+                 aux["avg_neighbors"])
+        return pos, vel, mean, stats
 
     def warmup(params, item):
         """Self-rollout warm-up with divergence guards (no grads)."""
@@ -670,15 +741,17 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
                 s["grav"] = grav0
             target = jnp.take(item["pos"], t + pre_eff + 1, axis=0)
             target_prev = jnp.take(item["pos"], t + pre_eff, axis=0)
-            pos2, vel2, losses = loss_for_step(
+            pos2, vel2, losses, stats = loss_for_step(
                 params, s, target, target_prev, pre_eff)
             lvec = jnp.stack([losses[k2] for k2 in loss_keys])
-            return (pos2, vel2), lvec * time_w[t]
+            return (pos2, vel2), (lvec * time_w[t], stats)
 
-        (pos, vel), lvecs = jax.lax.scan(
+        (pos, vel), (lvecs, stats) = jax.lax.scan(
             jax.checkpoint(step), (pos0, vel0),
             jnp.arange(window))
-        return jnp.sum(lvecs, axis=0)
+        max_nbr, avg_nbr = stats
+        return (jnp.sum(lvecs, axis=0),
+                (jnp.max(max_nbr), jnp.mean(avg_nbr)))
 
     def train_step(params, opt_state, batch, time_w):
         # warm-up self-rollout outside the differentiated region
@@ -690,7 +763,7 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
         vel0 = jax.lax.stop_gradient(vel0)
 
         def loss_fn(params):
-            lvecs = jax.vmap(
+            lvecs, (max_nbr, avg_nbr) = jax.vmap(
                 lambda item, p0, v0, pe: per_item(params, item, p0, v0,
                                                   pe, time_w))(
                 batch, pos0, vel0, pre_eff)
@@ -700,16 +773,18 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
             if w_decay > 0:
                 total = total + w_decay * sum(
                     jnp.sum(w**2) for w in jax.tree.leaves(params))
-            return total, lvec
+            stats = {"max_neighbors": jnp.max(max_nbr),
+                     "avg_neighbors": jnp.mean(avg_nbr)}
+            return total, (lvec, stats)
 
-        (total, lvec), grads = jax.value_and_grad(
+        (total, (lvec, stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         if grad_norm > 0:
             grads = jax.tree.map(
                 lambda g: _clip_by_norm(g, grad_norm), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, lvec, pre_eff
+        return params, opt_state, lvec, pre_eff, stats
 
     # donate params/opt_state: the update happens "in place", halving the
     # peak footprint of the optimizer step

@@ -26,6 +26,9 @@ def parse_args():
     parser = argparse.ArgumentParser(description="Run a network")
     parser.add_argument("-c", "--cfg_file", help="path to the config file")
     parser.add_argument("--ckpt_path", help="path to the checkpoint")
+    parser.add_argument("--tf_ckpt", help="path to a reference TensorFlow "
+                        "checkpoint prefix (e.g. .../Liquid3d/ckpt); "
+                        "converted to flax on the fly")
     parser.add_argument("--data_path", help="path to the scene data",
                         default="/root/reference/datasets/canyon_data/"
                                 "canyon.msgpack.zst")
@@ -111,7 +114,19 @@ def main():
 
     # checkpoint
     params = None
-    if args.ckpt_path:
+    if args.tf_ckpt:
+        from dmcf_tpu.utils.tf_ckpt import load_tf_reference_checkpoint
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), sample,
+                               training=False))
+        template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                template)
+        params = load_tf_reference_checkpoint(
+            args.tf_ckpt, template, model.layer_channels,
+            use_pre_adv=model.use_pre_adv)
+        params = jax.tree.map(jnp.asarray, params)
+        print(f"Converted reference TF checkpoint {args.tf_ckpt}")
+    elif args.ckpt_path:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.abspath(args.ckpt_path))

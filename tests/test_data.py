@@ -178,6 +178,23 @@ class TestBatching:
         assert np.all(pads[:, 0] > 1e7)
         loader.close()
 
+    def test_multi_worker_loader(self):
+        """num_workers > 1 (reference dataset_reader_physics.py:508-509):
+        parallel sampler streams must yield well-formed batches, cover the
+        dataset, and terminate cleanly on non-repeat streams."""
+        ds = make_dataset()
+        loader = get_dataloader(ds, batch_size=2, window=2, pre_frames=0,
+                                repeat=False, bucket=8, seed=0,
+                                num_workers=3)
+        batches = list(loader)
+        # 2 scenes x (8 - (2+1) + 1) = 12 windows per worker stream,
+        # 3 workers => 36 samples => 18 batches of 2
+        assert len(batches) == 18
+        for b in batches:
+            assert b["pos"].shape[0] == 2
+            assert b["fluid_mask"].sum(axis=1).tolist() == [6, 6]
+        loader.close()
+
     def test_rollout_assembly(self):
         ds = make_dataset()
         rollout = get_rollout(ds, time_start=2, time_end=10)

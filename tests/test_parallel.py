@@ -108,11 +108,11 @@ class TestDataParallel:
         opt_r = jax.device_put(jax.tree.map(jnp.copy, opt_state), repl)
 
         # single-device result (consumes the originals)
-        p1, _, lvec1, _ = train_step(params, opt_state, batch, time_w)
+        p1, _, lvec1, _, _ = train_step(params, opt_state, batch, time_w)
 
         # data-parallel: batch sharded over the mesh
         dbatch = shard_batch(batch, mesh)
-        p8, _, lvec8, _ = train_step(params_r, opt_r, dbatch, time_w)
+        p8, _, lvec8, _, _ = train_step(params_r, opt_r, dbatch, time_w)
 
         np.testing.assert_allclose(np.asarray(lvec8), np.asarray(lvec1),
                                    rtol=2e-4)
