@@ -206,10 +206,18 @@ def continuous_conv(kernel,
     idx, mask = neighbors.idx, neighbors.mask
     q, k = idx.shape
 
+    # DEFAULT matmul precision on TPU rounds both operands to bf16 for a
+    # single MXU pass anyway — doing the conversion *explicitly* (features
+    # before the gather, taps once at build) halves the neighbor-gather HBM
+    # traffic and kills the per-conv convert copies the profiler shows.
+    # Accumulation stays f32 via preferred_element_type.  The momentum-
+    # critical path ('highest') is untouched.
+    fast_bf16 = precision in (None, "default") and dtype == jnp.float32
+
     if taps is not None:
         if normalize:
             raise ValueError("taps= is incompatible with normalize=True")
-        A = taps.astype(dtype)
+        A = taps.astype(jnp.bfloat16 if fast_bf16 else dtype)
         a = None
     else:
         extents = jnp.asarray(extents, dtype=inp_positions.dtype)
@@ -241,22 +249,35 @@ def continuous_conv(kernel,
              * wx[..., None, :]).reshape(q, k, s_total)
         A = A * a[..., None]
 
-    f = inp_features[idx].astype(dtype)  # [Q, K, Cin]
+    if fast_bf16:
+        A = A.astype(jnp.bfloat16)
+        # convert the [N, C] features once, THEN gather: bf16 rows halve
+        # the gather's HBM traffic
+        f = inp_features.astype(jnp.bfloat16)[idx]  # [Q, K, Cin]
+        mm_precision = None
+        mm_dtype = jnp.bfloat16
+    else:
+        f = inp_features[idx].astype(dtype)  # [Q, K, Cin]
+        mm_precision = precision
+        mm_dtype = dtype
 
     # T[i] = A[i]^T @ F[i]  -> [Q, S, Cin]
-    T = jnp.einsum("qks,qkc->qsc", A, f, precision=precision,
-                   preferred_element_type=jnp.float32).astype(dtype)
+    T = jnp.einsum("qks,qkc->qsc", A, f, precision=mm_precision,
+                   preferred_element_type=jnp.float32).astype(mm_dtype)
 
     if symmetric:
         if query_features is None:
             raise ValueError("symmetric conv requires query_features")
         # self term: f_i * sum_k A[i,k,s] folded into the same contraction
-        t1 = jnp.sum(A, axis=1)  # [Q, S]
-        T = T + t1[:, :, None] * query_features.astype(dtype)[:, None, :]
+        t1 = jnp.sum(A.astype(dtype), axis=1)  # [Q, S]
+        T = (T.astype(dtype) +
+             t1[:, :, None] * query_features.astype(dtype)[:, None, :])
+        mm_dtype = dtype
+        mm_precision = precision
 
     out = jnp.matmul(T.reshape(q, s_total * cin),
-                     kernel.reshape(s_total * cin, cout).astype(dtype),
-                     precision=precision,
+                     kernel.reshape(s_total * cin, cout).astype(mm_dtype),
+                     precision=mm_precision,
                      preferred_element_type=jnp.float32).astype(dtype)
 
     if normalize:
