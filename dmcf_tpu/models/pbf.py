@@ -248,12 +248,24 @@ class PBFNet(nn.Module):
             precision=precision if precision is not None else self.precision,
         )
 
+    # cap on a cached tap tensor's size: sharing taps across convs forces
+    # XLA to materialize the full [Q, K, S] array (the inline form fuses
+    # into the conv einsum and never exists whole).  Worth it at bench
+    # scales (~20 MB), fatal at canyon scale (~0.7 GB per pair) — above the
+    # cap convs build taps inline.
+    tap_cache_max_elems: int = 32 * 1024 * 1024
+
     def pair_taps(self, cache, src_name, dst_name, nl, extents, inp_pos,
                   out_pos, window_name=None, filter_size=None,
                   ignore_query=False):
         """Memoized conv tap tensor for a (pair, radius, window, filter-size)
-        combination — shared by every conv of the step over that geometry."""
+        combination — shared by every conv of the step over that geometry.
+        Returns None (= build inline, fused) when the tensor would exceed
+        ``tap_cache_max_elems``."""
         fsz = tuple(int(x) for x in (filter_size or self.kernel_size))
+        q, k = nl.idx.shape
+        if q * k * fsz[0] * fsz[1] * fsz[2] > self.tap_cache_max_elems:
+            return None
         key = (src_name, dst_name, float(extents), window_name, fsz,
                bool(ignore_query))
         return cache.taps(key, lambda: build_tap_tensor(
@@ -461,8 +473,10 @@ class PBFNet(nn.Module):
             taps_all0 = self.pair_taps(cache, "all", "all", nl_all0,
                                        filter_extent[0], all_pos, all_pos,
                                        window_name=self.window)
-            taps_fluid0 = taps_all0 * nl_fluid0.mask[..., None]
-            taps_box0 = taps_all0 * nl_box0.mask[..., None]
+            taps_fluid0 = (taps_all0 * nl_fluid0.mask[..., None]
+                           if taps_all0 is not None else None)
+            taps_box0 = (taps_all0 * nl_box0.mask[..., None]
+                         if taps_all0 is not None else None)
             ans_conv = self.fluid_convs(fluid_feats * self.part_scale, pos,
                                         all_pos, neighbors=nl_fluid0,
                                         taps=taps_fluid0, **conv_kw)

@@ -150,7 +150,16 @@ class Simulator(BasePipeline):
 
     def run_rollout(self, rollout_data, timesteps=2, bucket=64):
         """Free rollout over full horizons, fully on device via lax.scan.
-        Returns per-sequence (positions [T,N,3], velocities) plus timing."""
+        Returns per-sequence (positions [T,N,3], velocities) plus timing.
+
+        ``pipeline.rollout_chunk`` (default 0 = whole horizon in one
+        executable) bounds the steps per device execution: very long
+        executions on huge scenes can exceed the TPU runtime's
+        per-execution walltime and kill the worker, so large scenes should
+        set a chunk that keeps each execution to a few seconds; the host
+        loop carries (pos, vel) across chunks at negligible dispatch cost.
+        """
+        chunk = int(self.cfg.get("rollout_chunk") or 0)
         results = []
         timings = []
         for data in rollout_data:
@@ -165,21 +174,42 @@ class Simulator(BasePipeline):
             else:
                 s0_init["grav"] = None
             s0_init["box"] = jnp.asarray(state["box"])
-            roll = self._get_rollout_fn(timesteps)
+            n_steps = max(timesteps - 1, 1)
+            exe_steps = (min(chunk, n_steps) if chunk else n_steps)
+            roll = self._get_rollout_fn(exe_steps + 1)
             strip = self._strip(s0_init)
-            # AOT-compile so long horizons execute once (the reference's
-            # dummy-init call, simulator.py:94, re-executes the model);
-            # cache executables per shape signature
-            ckey = ("rollout_exe", timesteps,
+            # AOT-compile so horizons execute in as few dispatches as
+            # possible (the reference's dummy-init call, simulator.py:94,
+            # re-executes the model); cache executables per shape signature
+            ckey = ("rollout_exe", exe_steps,
                     tuple((k, v.shape) for k, v in sorted(strip.items())))
             if ckey not in self._jit_cache:
                 self._jit_cache[ckey] = roll.lower(self.params,
                                                    strip).compile()
             compiled = self._jit_cache[ckey]
             t0 = time.time()
-            ps, vs, max_nbr, avg_nbr = compiled(self.params, strip)
-            jax.block_until_ready(ps)
-            dt = (time.time() - t0) / max(timesteps - 1, 1)
+            ps_parts, vs_parts = [], []
+            max_nbr = 0
+            avg_parts = []
+            done = 0
+            while done < n_steps:
+                ps, vs, mx, av = compiled(self.params, strip)
+                jax.block_until_ready(ps)
+                take = min(exe_steps, n_steps - done)
+                # frame 0 of each chunk repeats the seed frame
+                ps_parts.append(np.asarray(ps[0 if done == 0 else 1:
+                                              take + 1]))
+                vs_parts.append(np.asarray(vs[0 if done == 0 else 1:
+                                              take + 1]))
+                max_nbr = max(max_nbr, int(mx))
+                avg_parts.append(float(av) * take)
+                strip = dict(strip)
+                strip["pos"], strip["vel"] = ps[take], vs[take]
+                done += take
+            ps = np.concatenate(ps_parts, 0)
+            vs = np.concatenate(vs_parts, 0)
+            avg_nbr = sum(avg_parts) / n_steps
+            dt = (time.time() - t0) / n_steps
             timings.append(dt)
             n = state["n_fluid"]
             log.info("rollout {}: max_neighbors={} avg_neighbors={:.1f} "

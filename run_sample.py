@@ -35,6 +35,11 @@ def parse_args():
     parser.add_argument("--inflow", default=0, type=int,
                         help="inflow timing (steps with re-injection)")
     parser.add_argument("--timesteps", default=None, type=int)
+    parser.add_argument("--chunk", default=0, type=int,
+                        help="max rollout steps per device execution "
+                             "(0 = whole horizon in one executable; set "
+                             "small for huge scenes where one execution "
+                             "would exceed the TPU per-execution walltime)")
     parser.add_argument("--device", default="tpu")
     parser.add_argument("--output_dir", default="output")
     parser.add_argument("--boundary_crop_margin", type=float, default=None,
@@ -141,7 +146,9 @@ def main():
     block_pos = jnp.asarray(pos0)
     block_vel = jnp.asarray(vel0)
 
-    def rollout(params, s0, length):
+    def rollout(params, s0, carry, ts):
+        """Scan ``len(ts)`` steps from ``carry``; ts carries the global
+        step indices so inflow timing survives chunked execution."""
         def body(carry, t):
             pos, vel, mask, n_active = carry
             s = dict(s0)
@@ -164,26 +171,37 @@ def main():
                 inflow_now, do_inflow, lambda a: a, (p, v, mask, n_active))
             return (p, v, mask, n_active), (p, mask)
 
-        init = (s0["pos"], s0["vel"], s0["fluid_mask"],
-                jnp.asarray(n0, jnp.int32))
-        (_, _, _, n_final), (ps, ms) = jax.lax.scan(
-            body, init, jnp.arange(length - 1))
-        return ps, ms, n_final
+        carry, (ps, ms) = jax.lax.scan(body, carry, ts)
+        return carry, ps, ms
 
-    roll = jax.jit(rollout, static_argnames=("length",))
+    roll = jax.jit(rollout)
     print(f"scene: {n0} fluid (capacity {capacity}), "
           f"{int(bmask.sum())} boundary; {timesteps} steps")
+    n_steps = max(timesteps - 1, 1)
+    exe_steps = min(args.chunk, n_steps) if args.chunk else n_steps
+    carry = (sample["pos"], sample["vel"], sample["fluid_mask"],
+             jnp.asarray(n0, jnp.int32))
     t0 = time.time()
-    ps, ms, n_final = roll(params, sample, timesteps)
-    jax.block_until_ready(ps)
+    ps_parts, ms_parts = [], []
+    done = 0
+    while done < n_steps:
+        # a short final chunk re-runs the full chunk length and discards
+        # the excess (a second program shape would mean a second compile)
+        ts = jnp.arange(done, done + exe_steps)
+        carry, ps_c, ms_c = roll(params, sample, carry, ts)
+        jax.block_until_ready(ps_c)
+        take = min(exe_steps, n_steps - done)
+        ps_parts.append(np.asarray(ps_c[:take]))
+        ms_parts.append(np.asarray(ms_c[:take]))
+        done += take
     total = time.time() - t0
     print("Average runtime: %.05f s/step (incl. compile; %d steps)" %
-          (total / max(timesteps - 1, 1), timesteps - 1))
+          (total / n_steps, n_steps))
 
     # assemble output: frame 0 + rollout frames, padded with sentinel 1000
     # (reference run_sample.py:215-218)
-    ps = np.asarray(ps)
-    ms = np.asarray(ms)
+    ps = np.concatenate(ps_parts, 0)
+    ms = np.concatenate(ms_parts, 0)
     out = np.ones((timesteps, capacity, 3), np.float32) * 1000.0
     out[0, :n0] = pos0
     for i in range(ps.shape[0]):

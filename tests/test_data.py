@@ -187,9 +187,11 @@ class TestBatching:
                                 repeat=False, bucket=8, seed=0,
                                 num_workers=3)
         batches = list(loader)
-        # 2 scenes x (8 - (2+1) + 1) = 12 windows per worker stream,
-        # 3 workers => 36 samples => 18 batches of 2
-        assert len(batches) == 18
+        # 2 scenes x (20 - (2+1) + 1) = 36 windows per worker stream; each
+        # worker replays the full stream (tensorpack MultiProcessRunnerZMQ
+        # semantics, reference dataset_reader_physics.py:508-509), so
+        # 3 workers => 108 samples => 54 batches of 2
+        assert len(batches) == 54
         for b in batches:
             assert b["pos"].shape[0] == 2
             assert b["fluid_mask"].sum(axis=1).tolist() == [6, 6]

@@ -82,3 +82,49 @@ def test_run_train_single_vs_data_parallel(tmp_path):
     # same seed, deterministic loader, replicated init => same first-step
     # loss up to cross-device reduction order
     np.testing.assert_allclose(l8[0], l1[0], rtol=5e-4)
+
+
+def test_rollout_chunked_matches_whole_horizon(tmp_path):
+    """``pipeline.rollout_chunk`` splits one long device execution into
+    bounded segments (huge scenes can exceed the TPU runtime's
+    per-execution walltime); the trajectory must be bitwise identical —
+    same compiled step program, same (pos, vel) carry."""
+    import types
+
+    from dmcf_tpu.models.hrnet import HRNet
+    from dmcf_tpu.pipelines.simulator import Simulator
+
+    scene = _make_scenes(n_scenes=1, frames=10)[0]
+    pos = np.stack([f["pos"] for f in scene])
+    grav = np.stack([f["grav"] for f in scene])  # [T, 3] -> [T, N, 3]
+    data = {
+        "pos": pos,
+        "vel": np.stack([f["vel"] for f in scene]),
+        "grav": np.broadcast_to(grav[:, None, :], pos.shape).copy(),
+        "box": scene[0]["box"],
+        "box_normals": scene[0]["box_normals"],
+    }
+    model = HRNet(particle_radii=(0.1,), strides=(1,),
+                  layer_channels=(((4,),), ((3,),)), kernel_size=(2, 2, 2),
+                  neighbor_k=16, window="poly6", timestep=0.01)
+
+    def make(chunk):
+        group = types.SimpleNamespace(train=None, valid=None, test=None,
+                                      name=f"chunk{chunk}")
+        root = tmp_path / f"chunk{chunk}"
+        pipe = Simulator(model, dataset=group, name="Simulator",
+                         main_log_dir=str(root / "logs"),
+                         train_sum_dir=str(root / "train_log"),
+                         output_dir=str(root / "output"),
+                         rollout_chunk=chunk)
+        pipe.params = pipe._init_params_from_rollout(data)
+        return pipe
+
+    whole = make(0)
+    ps_w, vs_w = whole.run_rollout([data], timesteps=9, bucket=8)[0]
+    for chunk in (3, 4):  # 8 steps: even and uneven (overshoot) splits
+        pipe = make(chunk)
+        pipe.params = whole.params
+        ps_c, vs_c = pipe.run_rollout([data], timesteps=9, bucket=8)[0]
+        np.testing.assert_array_equal(ps_c, ps_w)
+        np.testing.assert_array_equal(vs_c, vs_w)
