@@ -7,10 +7,21 @@ particles, 600-frame horizon — configs/WaterRamps.yml test protocol), with
 the whole rollout running on device as one lax.scan.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we anchor to
-an estimated 20 steps/s for the TF/CUDA reference on this scene class (its
-per-step cost is dominated by ~50 FixedRadiusSearch+conv op launches; the
-paper-era GPU pipeline prints ~0.05 s/step scale numbers).  The driver's
-north star is >=5x that, i.e. vs_baseline >= 5.
+an estimated 20 steps/s (50 ms/step) for the TF/CUDA reference on this
+scene class.  Derivation (see BASELINE.md "Baseline derivation"): the
+WaterRamps SymNet forward issues 27 ContinuousConv calls, EACH running its
+own Open3D FixedRadiusSearch (hash-table build + query kernels) because the
+reference never reuses searches across layers (utils/convolutions.py:352-373),
+plus ~28 ragged continuous_conv ops, ~10 dense layers and the ragged
+bookkeeping between them — several hundred CUDA kernel launches on ~2.3k
+particles, each too small to hide launch + TF-runtime overhead, so the step
+is launch-bound: 300-1000 launches x ~50-100 us effective cost ~= 30-80 ms.
+20 steps/s (50 ms) sits in the middle of that band and is, if anything,
+charitable to the reference.  The driver's north star is >=5x that, i.e.
+vs_baseline >= 5.  (Real WaterRamps initial frames would be preferred over
+the synthetic scene, but the dataset needs a network download —
+reference download_waterramps.sh — and this environment has zero egress;
+the synthetic scene matches its particle counts and geometry class.)
 
 Prints exactly one JSON line.
 """

@@ -140,6 +140,9 @@ class PBFNet(nn.Module):
     # working set.  Overflow (more in-range boundary points than slots) is
     # reported via aux['boundary_crop_count'].
     boundary_crop_max: int = 0
+    # 'contact' (keep boundary within the coarsest extent of any fluid,
+    # most-contacted first) or 'aabb' (reference AABB semantics)
+    boundary_crop_mode: str = "contact"
     # padded point-budget for coarse pyramid scales, as a fraction of the
     # scale-0 size; scalar or per-scale list.  Truncation is tracked via
     # aux['scale_counts'] (counts exceeding the cap mean lost voxels).
@@ -191,22 +194,39 @@ class PBFNet(nn.Module):
         raise NotImplementedError
 
     def _crop_boundary(self, pos, fluid_mask, box, bfeats, box_mask, ext):
-        """Compact the boundary particles within the fluid AABB (+ coarsest
-        extent) into ``boundary_crop_max`` fixed slots (reference
-        models/pbf_model.py:330-336 does this with dynamic shapes)."""
-        from ..ops.neighbors import select_k_valid
+        """Compact the relevant boundary particles into
+        ``boundary_crop_max`` fixed slots (the fixed-shape analog of the
+        reference's dynamic AABB crop, models/pbf_model.py:330-336).
 
-        big = jnp.asarray(jnp.inf, pos.dtype)
-        p = jnp.where(fluid_mask[:, None], pos, big)
-        fluid_min = jnp.min(p, axis=0) - ext
-        p = jnp.where(fluid_mask[:, None], pos, -big)
-        fluid_max = jnp.max(p, axis=0) + ext
-        in_range = box_mask & jnp.all((box >= fluid_min) &
-                                      (box <= fluid_max), axis=-1)
-        idx, mask, _, count = select_k_valid(
-            in_range[None, :], None, self.boundary_crop_max)
-        idx, mask = idx[0], mask[0]
-        return box[idx], bfeats[idx], mask, count[0]
+        Mode 'contact' (default): keep boundary within ~``ext`` of any
+        fluid particle (cell-hash occupancy test) — a *tighter* superset of
+        the physically coupled set than the reference's AABB (boundary
+        farther than the coarsest filter extent from all fluid cannot enter
+        any conv), and on capacity overflow the most-contacted points
+        survive, so truncation degrades where the fluid isn't.  Mode 'aabb'
+        reproduces the reference's AABB semantics (first-K on overflow —
+        spatially arbitrary, only safe while the in-AABB count fits)."""
+        k = self.boundary_crop_max
+        if self.boundary_crop_mode == "contact":
+            from ..ops.grid_search import contact_weight
+            w = contact_weight(pos, box, ext, points_mask=fluid_mask,
+                               queries_mask=box_mask)
+            order = jnp.argsort(-w).astype(jnp.int32)
+            idx = order[:k]
+            mask = w[idx] > 0
+            count = jnp.sum(w > 0, dtype=jnp.int32)
+        else:
+            from ..ops.neighbors import select_k_valid
+            big = jnp.asarray(jnp.inf, pos.dtype)
+            p = jnp.where(fluid_mask[:, None], pos, big)
+            fluid_min = jnp.min(p, axis=0) - ext
+            p = jnp.where(fluid_mask[:, None], pos, -big)
+            fluid_max = jnp.max(p, axis=0) + ext
+            in_range = box_mask & jnp.all((box >= fluid_min) &
+                                          (box <= fluid_max), axis=-1)
+            idx, mask, _, count = select_k_valid(in_range[None, :], None, k)
+            idx, mask, count = idx[0], mask[0], count[0]
+        return box[idx], bfeats[idx], mask, count
 
     def _use_scale0_convs(self):
         """Whether preprocess runs the scale-0 fluid/boundary convs

@@ -44,6 +44,42 @@ def _hash_cells(c):
     return (h % np.uint32(2147483629)).astype(jnp.int32)
 
 
+def contact_weight(points, queries, radius, points_mask=None,
+                   queries_mask=None):
+    """Per-query fluid-contact weight via cell-hash occupancy.
+
+    Bins ``points`` into cells of edge ``radius`` and, for each query, sums
+    the point count over its 27-cell neighborhood.  Guarantees
+    ``weight > 0`` for every query within ``radius`` of any point (that
+    point's cell is among the 27), i.e. ``weight > 0`` is a superset of the
+    true contact set (points up to ~2*sqrt(3)*radius away also count; hash
+    collisions can add false positives) — exactly what a conservative
+    working-set crop needs.  Cost: one sort of the points + 27 searchsorted
+    range lookups per query; no per-cell candidate cap, so arbitrarily
+    dense point clumps are fine (unlike the full search's ``cell_cap``).
+
+    Returns int32 ``weight`` of shape [Q].
+    """
+    n = points.shape[0]
+    pm = (jnp.ones((n,), bool) if points_mask is None
+          else points_mask.astype(bool))
+    inv_cell = 1.0 / jnp.asarray(radius, points.dtype)
+    key = jnp.where(pm, _hash_cells(
+        jnp.floor(points * inv_cell).astype(jnp.int32)), _KEY_MAX)
+    skey = jnp.sort(key)
+
+    offsets = jnp.asarray(list(product((-1, 0, 1), repeat=3)), jnp.int32)
+    cq = jnp.floor(queries * inv_cell).astype(jnp.int32)
+    probe = _hash_cells(cq[:, None, :] + offsets[None, :, :])  # [Q, 27]
+    lo = jnp.searchsorted(skey, probe.reshape(-1)).reshape(probe.shape)
+    hi = jnp.searchsorted(skey, probe.reshape(-1),
+                          side="right").reshape(probe.shape)
+    w = jnp.sum(hi - lo, axis=1).astype(jnp.int32)
+    if queries_mask is not None:
+        w = jnp.where(queries_mask.astype(bool), w, 0)
+    return w
+
+
 def grid_fixed_radius_search(points,
                              queries,
                              radius,

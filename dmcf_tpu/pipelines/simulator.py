@@ -520,6 +520,8 @@ class Simulator(BasePipeline):
 
         window_it, warm_up_it, it_idx = 0, 0, 0
         train_loader = make_loader(windows[0], max_warm_up[0])
+        pending = None  # one-deep device-side batch prefetch
+        self._time_w_cache = {}
 
         self.optimizer = self._get_optimizer()
         if self.params is None:
@@ -551,18 +553,26 @@ class Simulator(BasePipeline):
                     train_loader.close()
                     train_loader = make_loader(windows[window_it],
                                                max_warm_up[warm_up_it])
+                    pending = None  # prefetched batch is stale-shaped
 
                 fetch_start = time.time()
-                batch = next(train_loader)
+                if pending is None:
+                    batch = next(train_loader)
+                    dbatch = self._device_batch(batch)
+                else:
+                    batch, dbatch = pending
                 window = windows[window_it]
                 time_w = compute_time_weights(step, window_it, windows,
                                               window_bnds, time_blend)
+                key = tuple(float(w) for w in time_w)
+                dtime_w = self._time_w_cache.get(key)
+                if dtime_w is None:
+                    dtime_w = self._time_w_cache[key] = jnp.asarray(time_w)
 
                 self.log_scalar_every_n_minutes(
                     self.writer, step, 5, "DataLatency",
                     time.time() - fetch_start)
 
-                dbatch = self._device_batch(batch)
                 train_step = self._train_step_for(
                     batch, window, iterations[it_idx], max_err, max_dens_err)
 
@@ -574,7 +584,13 @@ class Simulator(BasePipeline):
                         os.path.join(cfg.logs_dir, "profile"))
                 self.params, self.opt_state, lvec, pre_eff, nbr_stats = \
                     train_step(self.params, self.opt_state, dbatch,
-                               jnp.asarray(time_w))
+                               dtime_w)
+                # prefetch the next batch while the step runs on device:
+                # the host->device upload (tunnel RTT at TPU distance) is
+                # the train loop's serial overhead, so overlap it with
+                # compute (async dispatch) instead of paying it per step
+                nxt = next(train_loader)
+                pending = (nxt, self._device_batch(nxt))
                 if step == profile_at:
                     jax.block_until_ready(lvec)
                     jax.profiler.stop_trace()
@@ -606,11 +622,15 @@ class Simulator(BasePipeline):
             if epoch % int(cfg.get("save_ckpt_freq", 1)) == 0:
                 self.save_ckpt(epoch)
 
-            if cfg.get("run_valid_every_epoch", True):
+            # True = every epoch (reference simulator.py:515-518),
+            # False/0 = never, int N = every N epochs
+            valid_every = cfg.get("run_valid_every_epoch", True)
+            if valid_every and epoch % max(int(valid_every), 1) == 0:
                 self.run_valid(epoch)
                 self.save_logs(self.writer, epoch, [self.valid_loss],
                                "valid")
-            if cfg.get("run_test_every_epoch", True):
+            test_every = cfg.get("run_test_every_epoch", True)
+            if test_every and epoch % max(int(test_every), 1) == 0:
                 self.run_test(epoch)
 
         train_loader.close()

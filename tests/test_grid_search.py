@@ -114,3 +114,38 @@ class TestInvertNeighbors:
         for pi in range(80):
             for qi in rev[pi]:
                 assert pi in fwd[qi]
+
+
+class TestContactWeight:
+    def test_superset_of_true_contact_and_bounded(self):
+        """weight > 0 for every query within radius of a point (exact
+        guarantee); weight == 0 for queries beyond 2*sqrt(3)*radius of all
+        points (cell-neighborhood bound, modulo hash collisions which this
+        fixed seed does not hit)."""
+        import jax.numpy as jnp
+
+        from dmcf_tpu.ops.grid_search import contact_weight
+
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        qs = rng.uniform(-4, 4, (500, 3)).astype(np.float32)
+        r = 0.25
+        w = np.asarray(contact_weight(jnp.asarray(pts), jnp.asarray(qs), r))
+        d = np.sqrt(((qs[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+        dmin = d.min(1)
+        assert np.all(w[dmin <= r] > 0)
+        assert np.all(w[dmin > 2 * np.sqrt(3.0) * r] == 0)
+
+    def test_masks(self):
+        import jax.numpy as jnp
+
+        from dmcf_tpu.ops.grid_search import contact_weight
+
+        pts = np.zeros((4, 3), np.float32)
+        qs = np.zeros((3, 3), np.float32)
+        pm = np.array([True, True, False, False])
+        qm = np.array([True, False, True])
+        w = np.asarray(contact_weight(
+            jnp.asarray(pts), jnp.asarray(qs), 0.5,
+            points_mask=jnp.asarray(pm), queries_mask=jnp.asarray(qm)))
+        assert w[0] == 2 and w[1] == 0 and w[2] == 2

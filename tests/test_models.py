@@ -141,13 +141,63 @@ class TestBoundaryCrop:
         ref_pos, ref_vel, _ = ref_model.apply(params, sample,
                                               training=False)
 
-        cfg["boundary_crop_max"] = 56  # >= all 48 valid boundary points
+        for mode in ("contact", "aabb"):
+            cfg["boundary_crop_max"] = 56  # >= all 48 valid boundary pts
+            cfg["boundary_crop_mode"] = mode
+            crop_model = build_model(cfg)
+            pos, vel, aux = crop_model.apply(params, sample, training=False)
+            fm = np.asarray(sample["fluid_mask"])
+            np.testing.assert_allclose(np.asarray(pos)[fm],
+                                       np.asarray(ref_pos)[fm], atol=1e-5,
+                                       err_msg=mode)
+
+    def test_contact_crop_survives_wide_aabb(self):
+        """The failure mode that sank the canyon demo: fluid spread wide so
+        the AABB covered (almost) all boundary and first-K slot-order
+        truncation dropped the floor under the fluid.  Contact mode keeps
+        the boundary near fluid regardless of how wide the AABB is."""
+        import jax
+
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg["neighbor_k"] = 32
+        rng = np.random.RandomState(3)
+        # two fluid clumps far apart (wide AABB) resting near boundary
+        # clusters; a long slab of irrelevant boundary in between fills the
+        # AABB and precedes the relevant boundary in slot order
+        n = 64
+        fl = np.concatenate([
+            rng.uniform(0.0, 0.1, (32, 3)),
+            rng.uniform(3.0, 3.1, (32, 3))]).astype(np.float32)
+        far = np.stack([np.linspace(0.5, 2.5, 96),
+                        np.full(96, -5.0), np.zeros(96)],
+                       -1).astype(np.float32)  # in AABB, far from fluid
+        near = np.concatenate([
+            rng.uniform(-0.05, 0.15, (16, 3)),
+            rng.uniform(2.95, 3.15, (16, 3))]).astype(np.float32)
+        box = np.concatenate([far, near])  # relevant boundary LAST
+        sample = {
+            "pos": fl, "vel": np.zeros_like(fl),
+            "grav": np.tile(np.array([0, -9.81, 0], np.float32), (n, 1)),
+            "box": box,
+            "box_normals": np.tile(np.array([0, 1.0, 0], np.float32),
+                                   (len(box), 1)),
+            "fluid_mask": np.ones(n, bool),
+            "box_mask": np.ones(len(box), bool),
+        }
+        sample = {k: np.asarray(v) for k, v in sample.items()}
+
+        ref_model = build_model(dict(cfg))
+        params = ref_model.init(jax.random.PRNGKey(0), sample,
+                                training=False)
+        ref_pos, _, _ = ref_model.apply(params, sample, training=False)
+
+        cfg["boundary_crop_max"] = 64  # < 112 total, >= the ~32 contacted
+        cfg["boundary_crop_mode"] = "contact"
         crop_model = build_model(cfg)
-        pos, vel, aux = crop_model.apply(params, sample, training=False)
-        fm = np.asarray(sample["fluid_mask"])
-        np.testing.assert_allclose(np.asarray(pos)[fm],
-                                   np.asarray(ref_pos)[fm], atol=1e-5)
-        assert int(aux["boundary_crop_count"]) <= 48
+        pos, _, aux = crop_model.apply(params, sample, training=False)
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(ref_pos),
+                                   atol=1e-5)
+        assert int(aux["boundary_crop_count"]) <= 64
 
 
 class TestMomentumConservation:
