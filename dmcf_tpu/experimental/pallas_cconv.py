@@ -19,14 +19,39 @@ Mosaic shape discipline drives the layout:
 The ball->cube coordinate mapping runs OUTSIDE the kernel (atan has no
 Mosaic lowering; XLA fuses it into the neighbor gathers anyway).
 
-STATUS (v5e, Q=3072 K=32 S=64 Cin=32 Cout=16): this kernel measures
-1.37 ms vs 0.55 ms for the XLA formulation in ops/cconv.py — the per-slot
-expansion matmuls ([S*Cin, S] @ [S, TQ] twice per neighbor slot) outweigh
-what the fusion saves, and XLA's batched-matmul handling of the reference
-formulation is already near the envelope for these shapes.  Kept as an
-experimental alternative (exact to ~2e-7 vs the XLA path, verified in
-tests); the model path uses ops/cconv.py.  A future variant should keep K
-on the lane axis with segment reductions instead of per-slot grid steps.
+STATUS — RETIRED to experimental/ (VERDICT r1 item 7).  On v5e at
+Q=3072 K=32 S=64 Cin=32 Cout=16 this kernel measures 1.37 ms vs 0.55 ms
+for the XLA formulation in ops/cconv.py; the model path uses ops/cconv.py.
+Still exact to ~2e-7 vs the XLA path (tests/test_pallas_kernel.py runs it
+in interpret mode), kept as a worked example of Mosaic shape discipline.
+
+LEARNINGS (why XLA wins here, and what a viable v2 would need):
+1. The conv is HBM-bound, not FLOP-bound: per conv the traffic is the
+   neighbor-feature gather (Q*K*Cin), the tap tensor (Q*K*S), and the
+   contraction intermediates — ~20-30 MB at bench shapes, ~30 us of HBM
+   time.  XLA already fuses the elementwise tap math into the gather
+   consumers and keeps the batched [S,K]@[K,Cin] matmuls resident, so the
+   theoretical fusion headroom is small (<30% of the 0.55 ms).
+2. This kernel's losing cost is layout repair: with queries on lanes,
+   flattening per-neighbor outer products needs two expansion matmuls
+   ([S*Cin, S] @ [S, TQ]) per neighbor slot — O(K) MXU passes that dwarf
+   the saved HBM traffic.  Mosaic cannot collapse minor dims of vector
+   layouts, so the expansions cannot be folded away in this layout.
+3. A viable v2 must put K on the lane axis: tap construction becomes a
+   [TQ*S, K] layout built with segment reductions (one pass, no expansion
+   matmuls), contracted against gathered features [K, Cin] per query tile.
+   That turns the inner loop into one [S, K] @ [K, Cin] MXU pass per query
+   tile — but the gather of K neighbor features per query is then a
+   dynamic-index load pattern Pallas-TPU only supports via
+   PrefetchScalarGridSpec row gathers, which serialize per sublane; on
+   this stack the projected gather cost alone exceeds XLA's whole conv.
+   Revisit if/when Mosaic grows vectorized dynamic gathers.
+4. General rule confirmed twice this project: on TPU, sort/gather-shaped
+   irregular ops (neighbor search, list inversion) and small-K batched
+   contractions are better expressed as dense XLA ops (sort, searchsorted,
+   batched matmul) than as hand kernels; Pallas pays off for *regular*
+   tiled compute with reuse XLA cannot see, which this op does not have
+   once the tap tensor fits the fused gather path.
 """
 
 from __future__ import annotations
@@ -39,7 +64,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..coords import apply_coordinate_mapping
+from ..ops.coords import apply_coordinate_mapping
 
 TQ = 128  # query tile
 

@@ -8,7 +8,7 @@ import pytest
 from dmcf_tpu.models.pbf import drop_coincident
 from dmcf_tpu.ops import (build_symmetric_kernel, continuous_conv,
                           fixed_radius_search, get_window_func)
-from dmcf_tpu.ops.pallas.cconv_kernel import pallas_continuous_conv
+from dmcf_tpu.experimental.pallas_cconv import pallas_continuous_conv
 
 
 def gathered_inputs(pts, feats, nl, radius, window):
