@@ -33,8 +33,12 @@ class SummaryLogger:
         self.dir = directory
         self.jsonl = open(os.path.join(directory, "metrics.jsonl"), "a")
         try:
-            from flax.metrics import tensorboard as ftb
-            self.tb = ftb.SummaryWriter(directory)
+            # TF-free event writer: flax/TF's summary path costs ~0.4 s
+            # PER SCALAR on this stack (it re-probes the device platform),
+            # which capped training at ~2.3 steps/s vs the ~4 ms compiled
+            # step — see utils/tb_writer.py
+            from ..utils.tb_writer import TBEventWriter
+            self.tb = TBEventWriter(directory)
         except Exception:  # pragma: no cover - tensorboard optional
             self.tb = None
 
