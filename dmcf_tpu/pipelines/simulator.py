@@ -17,6 +17,7 @@ Reference: pipelines/simulator.py:37-518.  TPU-first redesign:
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
@@ -445,6 +446,46 @@ class Simulator(BasePipeline):
                 window, its, max_err, max_dens_err)
         return self._jit_cache[shape_key]
 
+    @functools.cached_property
+    def _pack_train_stats(self):
+        """Concatenate the per-step telemetry into one device f32 vector
+        so the training loop pays a single deferred transfer per log
+        interval instead of four eager ones."""
+        return jax.jit(lambda lvec, pre_eff, mx, av: jnp.concatenate([
+            lvec.astype(jnp.float32),
+            jnp.stack([jnp.mean(pre_eff.astype(jnp.float32)),
+                       mx.astype(jnp.float32), av.astype(jnp.float32)])]))
+
+    def _flush_train_logs(self, queue):
+        """Materialize and emit a batch of queued telemetry entries.
+
+        On this TPU stack any device->host transfer issued while dispatches
+        are in flight serializes the whole queue at ~0.4 s per pending
+        step (a pure block_until_ready drains the same queue at the
+        compiled step time, ~4 ms) — so telemetry buffers are accumulated
+        on device and read back in ONE stacked transfer after an explicit
+        drain, instead of one transfer per log interval."""
+        jax.block_until_ready(queue[-1][3])
+        mat = np.asarray(jnp.stack([e[3] for e in queue]))
+        for (step, warmup_host, timesteps, _), vec in zip(queue, mat):
+            self._emit_train_log((step, warmup_host, timesteps, vec))
+
+    def _emit_train_log(self, entry):
+        step, warmup_host, timesteps, packed = entry
+        vec = np.asarray(packed)
+        losses = {k: float(v) for k, v in zip(self.loss_fns.keys(), vec)}
+        losses["loss"] = float(vec[:len(self.loss_fns)].sum())
+        losses["timesteps"] = timesteps
+        losses["warmup"] = warmup_host
+        losses["warmup_diff"] = warmup_host - float(vec[-3])
+        losses["max_neighbors"] = float(vec[-2])
+        losses["avg_neighbors"] = float(vec[-1])
+        self._check_neighbor_overflow(
+            losses["max_neighbors"], f"train step {step}")
+        log.info("step {} - {}", step, " ".join(
+            "%s: %.5f" % (k, v) for k, v in losses.items()))
+        self.save_logs(self.writer, step, [losses], "train")
+
     def _device_batch(self, batch):
         out = {}
         for k, v in batch.items():
@@ -521,7 +562,14 @@ class Simulator(BasePipeline):
         window_it, warm_up_it, it_idx = 0, 0, 0
         train_loader = make_loader(windows[0], max_warm_up[0])
         pending = None  # one-deep device-side batch prefetch
+        log_queue = []  # deferred telemetry readbacks (see log block)
         self._time_w_cache = {}
+        # opt-in loop-section timing (DMCF_LOOP_TIMING=1): accumulates
+        # host-side time per section, reported every log interval
+        loop_timing = bool(int(os.environ.get("DMCF_LOOP_TIMING", "0")))
+        tmr = {"fetch": 0.0, "dispatch": 0.0, "prefetch": 0.0,
+               "log": 0.0, "other": 0.0}
+        t_prev = time.time()
 
         self.optimizer = self._get_optimizer()
         if self.params is None:
@@ -537,6 +585,9 @@ class Simulator(BasePipeline):
         self._setup_data_parallel()
 
         log.info("Writing summary in {}.", self.tensorboard_dir)
+        # pre-pay the tunnel's one-time device->host transfer setup now
+        # (otherwise the first telemetry flush absorbs it mid-training)
+        np.asarray(jnp.zeros((8,)))
         log.info("Started training")
 
         for epoch in range(start_ep, int(cfg.max_epoch) + 1):
@@ -555,6 +606,9 @@ class Simulator(BasePipeline):
                                                max_warm_up[warm_up_it])
                     pending = None  # prefetched batch is stale-shaped
 
+                if loop_timing:
+                    t0 = time.time()
+                    tmr["other"] += t0 - t_prev
                 fetch_start = time.time()
                 if pending is None:
                     batch = next(train_loader)
@@ -573,6 +627,9 @@ class Simulator(BasePipeline):
                     self.writer, step, 5, "DataLatency",
                     time.time() - fetch_start)
 
+                if loop_timing:
+                    t1 = time.time()
+                    tmr["fetch"] += t1 - t0
                 train_step = self._train_step_for(
                     batch, window, iterations[it_idx], max_err, max_dens_err)
 
@@ -585,12 +642,18 @@ class Simulator(BasePipeline):
                 self.params, self.opt_state, lvec, pre_eff, nbr_stats = \
                     train_step(self.params, self.opt_state, dbatch,
                                dtime_w)
+                if loop_timing:
+                    t2 = time.time()
+                    tmr["dispatch"] += t2 - t1
                 # prefetch the next batch while the step runs on device:
                 # the host->device upload (tunnel RTT at TPU distance) is
                 # the train loop's serial overhead, so overlap it with
                 # compute (async dispatch) instead of paying it per step
                 nxt = next(train_loader)
                 pending = (nxt, self._device_batch(nxt))
+                if loop_timing:
+                    t3 = time.time()
+                    tmr["prefetch"] += t3 - t2
                 if step == profile_at:
                     jax.block_until_ready(lvec)
                     jax.profiler.stop_trace()
@@ -600,24 +663,34 @@ class Simulator(BasePipeline):
                 if i == 0 and epoch == start_ep:
                     self.log_param_count()
 
+                if loop_timing:
+                    t_prev = time.time()
                 if i % int(cfg.get("log_every", 10)) == 0:
-                    lvec_np = np.asarray(lvec)
-                    losses = {k: float(v) for k, v in
-                              zip(self.loss_fns.keys(), lvec_np)}
-                    losses["loss"] = float(lvec_np.sum())
-                    losses["timesteps"] = float(time_w.sum())
-                    losses["warmup"] = float(np.mean(batch["pre"]))
-                    losses["warmup_diff"] = float(
-                        np.mean(batch["pre"] - np.asarray(pre_eff)))
-                    losses["max_neighbors"] = float(
-                        nbr_stats["max_neighbors"])
-                    losses["avg_neighbors"] = float(
+                    # ONE packed device array, materialized a log-interval
+                    # LATE: a device->host sync issued right after a
+                    # dispatch drains the tunnel's whole in-flight queue at
+                    # ~0.4 s per pending step (measured: 8 s per sync at
+                    # log_every 20 vs a 3.6 ms compiled step).  Reading the
+                    # previous interval's long-completed buffer instead
+                    # keeps the dispatch queue deep and the sync ~free.
+                    packed = self._pack_train_stats(
+                        lvec, pre_eff, nbr_stats["max_neighbors"],
                         nbr_stats["avg_neighbors"])
-                    self._check_neighbor_overflow(
-                        losses["max_neighbors"], f"train step {step}")
-                    log.info("step {} - {}", step, " ".join(
-                        "%s: %.5f" % (k, v) for k, v in losses.items()))
-                    self.save_logs(self.writer, step, [losses], "train")
+                    log_queue.append((step, float(np.mean(batch["pre"])),
+                                      float(np.sum(time_w)), packed))
+                    if len(log_queue) >= int(cfg.get("log_flush_steps",
+                                                     50)):
+                        self._flush_train_logs(log_queue)
+                        log_queue = []
+                    if loop_timing:
+                        tmr["log"] += time.time() - t3
+                        log.info("loop timing (s since last): " + " ".join(
+                            "%s=%.2f" % (k, v) for k, v in tmr.items()))
+                        tmr = {k: 0.0 for k in tmr}
+
+            if log_queue:
+                self._flush_train_logs(log_queue)
+                log_queue = []
 
             if epoch % int(cfg.get("save_ckpt_freq", 1)) == 0:
                 self.save_ckpt(epoch)
