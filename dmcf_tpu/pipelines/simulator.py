@@ -465,7 +465,7 @@ class Simulator(BasePipeline):
         compiled step time, ~4 ms) — so telemetry buffers are accumulated
         on device and read back in ONE stacked transfer after an explicit
         drain, instead of one transfer per log interval."""
-        jax.block_until_ready(queue[-1][3])
+        jax.block_until_ready([e[3] for e in queue])
         mat = np.asarray(jnp.stack([e[3] for e in queue]))
         for (step, warmup_host, timesteps, _), vec in zip(queue, mat):
             self._emit_train_log((step, warmup_host, timesteps, vec))
@@ -679,7 +679,7 @@ class Simulator(BasePipeline):
                     log_queue.append((step, float(np.mean(batch["pre"])),
                                       float(np.sum(time_w)), packed))
                     if len(log_queue) >= int(cfg.get("log_flush_steps",
-                                                     50)):
+                                                     1000)):
                         self._flush_train_logs(log_queue)
                         log_queue = []
                     if loop_timing:
