@@ -134,8 +134,23 @@ class BasePipeline:
         (reference semantics: latest checkpoint if no explicit path)."""
         epoch = 0
         if ckpt_path:
+            path = os.path.abspath(ckpt_path)
+            # accept a CheckpointManager step dir (save_ckpt layout:
+            # <step>/default/...) as well as a bare StandardSave dir
+            if os.path.exists(os.path.join(path, "default", "_METADATA")):
+                path = os.path.join(path, "default")
             ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(os.path.abspath(ckpt_path))
+            # device-agnostic restore: build the target template from the
+            # checkpoint's own metadata (shape/dtype only) so a TPU-saved
+            # ckpt restores on CPU for eval and vice versa — the shardings
+            # recorded at save time are ignored
+            meta = ckptr.metadata(path)
+            meta = getattr(meta, "item_metadata", meta)
+            shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            template = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=shard), meta)
+            restored = ckptr.restore(path, template)
             self.params = restored["params"]
             if "opt_state" in restored and self.opt_state is not None:
                 self.opt_state = restored["opt_state"]

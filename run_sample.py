@@ -35,6 +35,11 @@ def parse_args():
     parser.add_argument("--inflow", default=0, type=int,
                         help="inflow timing (steps with re-injection)")
     parser.add_argument("--timesteps", default=None, type=int)
+    parser.add_argument("--vel", default=None, type=float, nargs=3,
+                        help="initial/inflow velocity boost (default "
+                             "[10, 0, -6], the reference demo's; scale it "
+                             "down when driving a checkpoint trained at a "
+                             "slower regime, e.g. Liquid3d)")
     parser.add_argument("--chunk", default=0, type=int,
                         help="max rollout steps per device execution "
                              "(0 = whole horizon in one executable; set "
@@ -78,8 +83,9 @@ def main():
     timesteps = args.timesteps if args.timesteps is not None else len(data)
 
     pos0 = np.asarray(frame0["pos"], np.float32)
+    boost = (args.vel if args.vel is not None else [10.0, 0.0, -6.0])
     vel0 = np.asarray(frame0["vel"], np.float32) + \
-        np.array([10.0, 0.0, -6.0], np.float32)
+        np.asarray(boost, np.float32)
     box = np.asarray(frame0["box"], np.float32)
     nrm = np.asarray(frame0["box_normals"], np.float32)
     n0 = pos0.shape[0]
