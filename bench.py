@@ -75,6 +75,8 @@ def main():
 
     from dmcf_tpu.data.dataflow import pad_rollout_state
     from dmcf_tpu.models import build_model
+    from dmcf_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = yaml.safe_load(open(
         os.path.join(os.path.dirname(__file__) or ".",

@@ -17,12 +17,12 @@ Reference: pipelines/simulator.py:37-518.  TPU-first redesign:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import logging
 import os
 import time
 from datetime import datetime
-from functools import partial
 from glob import glob
 
 import jax
@@ -98,6 +98,27 @@ class Simulator(BasePipeline):
         self.loss_fns = {k: get_loss(**dict(v))
                          for k, v in self.loss_cfg.items()}
         self._jit_cache = {}
+
+    @contextlib.contextmanager
+    def _file_log(self, split):
+        """Per-run log file, detached on completion.
+
+        The reference leaks one FileHandler per run_* call
+        (pipelines/simulator.py:124,176,296), duplicating every later line
+        into every older file across a long training; here the handler is
+        removed and closed when the run section ends."""
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        log_path = os.path.join(self.cfg.logs_dir,
+                                f"log_{split}_{timestamp}.txt")
+        log.info("Logging in file : {}", log_path)
+        handler = logging.FileHandler(log_path)
+        pkg_log = logging.getLogger("dmcf_tpu")
+        pkg_log.addHandler(handler)
+        try:
+            yield log_path
+        finally:
+            pkg_log.removeHandler(handler)
+            handler.close()
 
     # ------------------------------------------------------------------
     # single-step / rollout inference
@@ -244,12 +265,11 @@ class Simulator(BasePipeline):
     # ------------------------------------------------------------------
 
     def run_test(self, epoch=None):
-        cfg = self.cfg
-        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
-        log_path = os.path.join(cfg.logs_dir, f"log_test_{timestamp}.txt")
-        log.info("Logging in file : {}", log_path)
-        log.addHandler(logging.FileHandler(log_path))
+        with self._file_log("test"):
+            return self._run_test(epoch)
 
+    def _run_test(self, epoch=None):
+        cfg = self.cfg
         dg_cfg = dict(cfg.get("data_generator") or {})
         test_cfg = dict(dg_cfg.pop("test", {}) or {})
         dg_cfg.pop("train", None)
@@ -285,15 +305,22 @@ class Simulator(BasePipeline):
             self.run_valid(epoch)
 
     def run_valid(self, epoch=None):
+        with self._file_log("valid"):
+            return self._run_valid(epoch)
+
+    def _run_valid(self, epoch=None):
         """Validation metric suite (reference pipelines/simulator.py:167-285):
         mse, chamfer both directions, density / max-density, EMD,
-        velocity-distribution KL, single-step mse."""
-        cfg = self.cfg
-        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
-        log_path = os.path.join(cfg.logs_dir, f"log_valid_{timestamp}.txt")
-        log.info("Logging in file : {}", log_path)
-        log.addHandler(logging.FileHandler(log_path))
+        velocity-distribution KL, single-step mse.
 
+        Device-side metrics (density, EMD, single-step mse) are evaluated
+        for ALL timesteps of a sequence in ONE jitted lax.map dispatch: on
+        the tunneled TPU every individual dispatch+readback serializes the
+        queue at ~0.4 s, so the reference's per-timestep loop (simulator.py
+        :189-263) costs minutes per validation here — batching makes the
+        per-epoch valid ~free.  Host-side numpy metrics (mse, chamfer, KL)
+        stay per-timestep; they are microseconds at these sizes."""
+        cfg = self.cfg
         dg_cfg = dict(cfg.get("data_generator") or {})
         valid_cfg = dict(dg_cfg.pop("valid", {}) or {})
         dg_cfg.pop("train", None)
@@ -310,18 +337,19 @@ class Simulator(BasePipeline):
         results = self.run_rollout(valid_data, horizon)
 
         eval_stride = int(valid_cfg.get("eval_stride", 1))
-        radius0 = float(self.model.particle_radii[0])
         split = cfg.get("split", "train")
-
-        emd_fn = self._jit_cache.setdefault(
-            "emd", jax.jit(lambda a, b: emd_loss(a, b)))
-        densl = jax.jit(partial(self._density_metrics, radius0=radius0))
+        # the reference computes the full suite only outside the train
+        # split (simulator.py:227); ``valid_full_metrics: true`` forces it
+        # during training so convergence of EMD/max-density is tracked
+        full = bool(cfg.get("valid_full_metrics", split != "train"))
 
         losses = []
         for i, data in enumerate(valid_data):
             target_pos, target_vel = data["pos"], data["vel"]
             box = data["box"]
             ps, vs = results[i]
+            n = target_pos.shape[1]
+            dev = self._seq_device_metrics(data, ps, full)
             seq_losses = []
             for t in range(1, target_pos.shape[0]):
                 if t % eval_stride != 0:
@@ -334,26 +362,21 @@ class Simulator(BasePipeline):
                                                           pos)))
                 entry["chamfer_val"] = float(np.mean(
                     chamfer_distance(target_pos[t], pos)))
-                if split != "train":
-                    dens_v, maxd_v = densl(
-                        jnp.asarray(target_pos[t]), jnp.asarray(pos),
-                        jnp.asarray(box))
-                    entry["dens_val"] = float(dens_v)
-                    entry["max_dens_val"] = float(maxd_v)
+                if full:
+                    entry["dens_val"] = float(dev["dens_val"][t - 1])
+                    entry["max_dens_val"] = float(
+                        dev["max_dens_val"][t - 1])
                     entry["chamfer_val_2"] = float(np.mean(
                         chamfer_distance(pos, target_pos[t])))
-                    entry["emd"] = float(np.mean(np.asarray(
-                        emd_fn(jnp.asarray(target_pos[t][None]),
-                               jnp.asarray(pos[None])))))
+                    entry["emd"] = float(dev["emd"][t - 1])
                     entry["vel_diff_val"] = float(
                         compare_dist(target_vel[t], vel))
                     entry["vel_diff_val_2"] = float(
                         compare_dist(vel, target_vel[t]))
 
                 # single-step prediction from ground truth
-                single = self._single_step_from_gt(data, t)
-                entry["mse_single_val"] = float(np.mean(
-                    distance(target_pos[t], single)))
+                entry["mse_single_val"] = float(
+                    dev["mse_single_val"][t - 1])
 
                 losses.append(entry)
                 seq_losses.append(entry)
@@ -372,13 +395,16 @@ class Simulator(BasePipeline):
         self.valid_loss = loss
         return loss
 
-    def _density_metrics(self, gt, pred, box, radius0=0.01):
+    def _density_metrics(self, gt, pred, box, mask=None, bmask=None,
+                         radius0=0.01):
         win_poly6 = get_window_func("poly6")
         win_dens = get_window_func(
             getattr(self.model, "window_dens", None))
         n, nb = pred.shape[0], box.shape[0]
-        mask = jnp.ones((n,), bool)
-        bmask = jnp.ones((nb,), bool)
+        if mask is None:
+            mask = jnp.ones((n,), bool)
+        if bmask is None:
+            bmask = jnp.ones((nb,), bool)
         pred_all = jnp.concatenate([pred, box], 0)
         gt_all = jnp.concatenate([gt, box], 0)
         allmask = jnp.concatenate([mask, bmask], 0)
@@ -393,23 +419,78 @@ class Simulator(BasePipeline):
                               win=win_dens, use_max=True, k=k)
         return dens_v, maxd_v
 
-    def _single_step_from_gt(self, data, t, bucket=64):
-        state = pad_rollout_state(
-            {**data, "pos": data["pos"][t - 1:t],
-             "vel": data["vel"][t - 1:t],
-             "grav": (data["grav"][t - 1:t]
-                      if data.get("grav") is not None else None)},
-            bucket=bucket)
-        s = {"pos": jnp.asarray(state["pos"][0]),
-             "vel": jnp.asarray(state["vel"][0]),
-             "box": jnp.asarray(state["box"]),
-             "box_normals": jnp.asarray(state["box_normals"]),
-             "fluid_mask": jnp.asarray(state["fluid_mask"]),
-             "box_mask": jnp.asarray(state["box_mask"])}
-        if state["grav"] is not None:
-            s["grav"] = jnp.asarray(state["grav"][0])
-        pos, vel = self._get_step_fn()(self.params, s)
-        return np.asarray(pos)[:state["n_fluid"]]
+    def _seq_device_metrics(self, data, pred, full, bucket=64):
+        """All device-side valid metrics of one sequence in one dispatch.
+
+        Returns host arrays of shape [T-1]: ``mse_single_val`` and (when
+        ``full``) ``dens_val`` / ``max_dens_val`` / ``emd``; index t-1
+        scores frame t."""
+        state = pad_rollout_state(data, bucket=bucket)
+        n = state["n_fluid"]
+        pred_pad = state["pos"].copy()
+        pred_pad[:, :n] = pred
+        key = ("seq_metrics", bool(full), state["pos"].shape,
+               state["box"].shape, state["grav"] is not None)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(functools.partial(
+                self._seq_metrics_impl, full=bool(full),
+                has_grav=state["grav"] is not None))
+        fn = self._jit_cache[key]
+        out = fn(self.params, jnp.asarray(state["pos"]),
+                 jnp.asarray(state["vel"]), jnp.asarray(pred_pad),
+                 jnp.asarray(state["box"]),
+                 jnp.asarray(state["box_normals"]),
+                 jnp.asarray(state["fluid_mask"]),
+                 jnp.asarray(state["box_mask"]),
+                 (jnp.asarray(state["grav"])
+                  if state["grav"] is not None else None))
+        jax.block_until_ready(out)
+        return {k2: np.asarray(v) for k2, v in out.items()}
+
+    def _seq_metrics_impl(self, params, gt_pos, gt_vel, pred_pos, box,
+                          box_normals, fluid_mask, box_mask, grav, *,
+                          full, has_grav):
+        radius0 = float(self.model.particle_radii[0])
+        fm = fluid_mask.astype(bool)
+        bm = box_mask.astype(bool)
+        n_valid = jnp.maximum(jnp.sum(fm), 1)
+        big = jnp.asarray(jnp.inf, box.dtype)
+        have_box = jnp.any(bm)
+        lo = jnp.where(have_box,
+                       jnp.min(jnp.where(bm[:, None], box, big), axis=0),
+                       -big)
+        hi = jnp.where(have_box,
+                       jnp.max(jnp.where(bm[:, None], box, -big), axis=0),
+                       big)
+        base = {"box": box, "box_normals": box_normals,
+                "fluid_mask": fluid_mask, "box_mask": box_mask}
+
+        def one(xs):
+            g_t, p_t, g_prev, v_prev, grav_prev = xs
+            # reference clips predictions to the boundary bbox
+            # (simulator.py:217-220)
+            p_c = jnp.clip(p_t, lo, hi)
+            s = dict(base)
+            s["pos"], s["vel"] = g_prev, v_prev
+            if has_grav:
+                s["grav"] = grav_prev
+            ps_, _, _ = self.model.apply(params, s, training=False)
+            d = jnp.sqrt(jnp.sum((ps_ - g_t) ** 2, axis=-1))
+            out = {"mse_single_val":
+                   jnp.sum(jnp.where(fm, d, 0.0)) / n_valid}
+            if full:
+                dens_v, maxd_v = self._density_metrics(
+                    g_t, p_c, box, mask=fm, bmask=bm, radius0=radius0)
+                out["dens_val"] = dens_v
+                out["max_dens_val"] = maxd_v
+                nn = jnp.asarray([jnp.sum(fm)], jnp.int32)
+                out["emd"] = emd_loss(g_t[None], p_c[None],
+                                      n=nn, m=nn)[0]
+            return out
+
+        xs = (gt_pos[1:], pred_pos[1:], gt_pos[:-1], gt_vel[:-1],
+              grav[:-1] if has_grav else gt_pos[:-1])
+        return jax.lax.map(one, xs)
 
     # ------------------------------------------------------------------
     # training
@@ -531,13 +612,12 @@ class Simulator(BasePipeline):
                  "(per-device batch {})", n_dev, bs // n_dev)
 
     def run_train(self):
+        with self._file_log("train"):
+            return self._run_train()
+
+    def _run_train(self):
         cfg = self.cfg
         dataset = self.dataset
-        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
-        log_path = os.path.join(cfg.logs_dir, f"log_train_{timestamp}.txt")
-        log.info("Logging in file : {}", log_path)
-        log.addHandler(logging.FileHandler(log_path))
-
         dg_cfg = dict(cfg.get("data_generator") or {})
         train_cfg = dict(dg_cfg.pop("train", {}) or {})
         dg_cfg.pop("valid", None)

@@ -1,8 +1,7 @@
 from .cache import Cache, get_hash
 from .config import Config, ConfigDict
+from .jax_cache import enable_compilation_cache
 from .log import LogRecord, get_runid, make_dir, setup_logging
-from .registry import (DATASET, MODEL, PIPELINE, SAMPLER, Registry,
-                       convert_device_name)
 
 __all__ = [
     "Config",
@@ -13,10 +12,5 @@ __all__ = [
     "setup_logging",
     "Cache",
     "get_hash",
-    "Registry",
-    "MODEL",
-    "PIPELINE",
-    "DATASET",
-    "SAMPLER",
-    "convert_device_name",
+    "enable_compilation_cache",
 ]

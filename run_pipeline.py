@@ -65,6 +65,9 @@ def main():
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from dmcf_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from dmcf_tpu.data import DatasetGroup
     from dmcf_tpu.models import build_model
     from dmcf_tpu.pipelines import PIPELINES

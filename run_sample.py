@@ -34,6 +34,14 @@ def parse_args():
                                 "canyon.msgpack.zst")
     parser.add_argument("--inflow", default=0, type=int,
                         help="inflow timing (steps with re-injection)")
+    parser.add_argument("--inflow_every", default=2, type=int,
+                        help="re-inject the initial block every N steps "
+                             "(reference hardcodes 2, run_sample.py:173-177"
+                             "; at tamed velocities the previous block has "
+                             "not cleared the injection site after 2 steps "
+                             "and re-injection explodes the density — "
+                             "scale N so blocks clear: N >= block_depth / "
+                             "(|v| * dt))")
     parser.add_argument("--timesteps", default=None, type=int)
     parser.add_argument("--vel", default=None, type=float, nargs=3,
                         help="initial/inflow velocity boost (default "
@@ -69,9 +77,10 @@ def main():
     from dmcf_tpu.data import read_msgpack_zst, write_results
     from dmcf_tpu.data.dataflow import pad_particles, sentinel_rows
     from dmcf_tpu.models import build_model
-    from dmcf_tpu.utils import setup_logging
+    from dmcf_tpu.utils import enable_compilation_cache, setup_logging
 
     setup_logging()
+    enable_compilation_cache()
 
     cfg = yaml.safe_load(open(args.cfg_file))
     if args.boundary_crop_max:
@@ -98,8 +107,9 @@ def main():
         box, nrm = box[keep], nrm[keep]
         print(f"boundary cropped: {keep.sum()}/{keep.size}")
 
-    # capacity: initial block + one block per inflow event (every 2 steps)
-    n_events = max((min(args.inflow, timesteps) + 0) // 2, 0)
+    # capacity: initial block + one block per inflow event
+    every = max(int(args.inflow_every), 1)
+    n_events = max(min(args.inflow, timesteps) // every, 0)
     capacity = (1 + n_events) * n0
     capacity = int(-(-capacity // 128) * 128)
 
@@ -171,7 +181,7 @@ def main():
                 mask = mask | ((idx >= n_active) & (idx < n_active + n0))
                 return p, v, mask, n_active + n0
 
-            inflow_now = (t < inflow_steps) & (t % 2 == 1) & \
+            inflow_now = (t < inflow_steps) & (t % every == every - 1) & \
                 (n_active + n0 <= capacity)
             p, v, mask, n_active = jax.lax.cond(
                 inflow_now, do_inflow, lambda a: a, (p, v, mask, n_active))
