@@ -77,7 +77,8 @@ class HRNet(PBFNet):
         nl = ctx["cache"].get(
             f"dilated{inp_scale}", f"dilated{out_scale}", radius,
             ctx["dilated_pos"][inp_scale], ctx["dilated_mask"][inp_scale],
-            ctx["dilated_pos"][out_scale], ctx["dilated_mask"][out_scale])
+            ctx["dilated_pos"][out_scale], ctx["dilated_mask"][out_scale],
+            occ_cap=self.occ_for_radius(radius))
         if ignore_query:
             from .pbf import drop_coincident
             nl = drop_coincident(nl, ctx["dilated_pos"][inp_scale],

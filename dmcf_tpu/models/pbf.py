@@ -68,19 +68,22 @@ class SearchCache:
     over the same geometry reuses both (the reference re-searches and
     re-interpolates inside every conv call, utils/convolutions.py:352-379)."""
 
-    def __init__(self, k: int, method: str = "auto"):
+    def __init__(self, k: int, method: str = "auto", occ_cap: int = 128):
         self.k = k
         self.method = method
+        self.occ_cap = occ_cap
         self._cache: Dict[Tuple, NeighborList] = {}
         self._taps: Dict[Tuple, jax.Array] = {}
 
-    def get(self, src_name, dst_name, radius, points, pmask, queries, qmask):
+    def get(self, src_name, dst_name, radius, points, pmask, queries, qmask,
+            occ_cap=None):
         key = (src_name, dst_name, float(radius))
         if key not in self._cache:
             from ..ops.neighbors import search
             self._cache[key] = search(
                 points, queries, radius, self.k, method=self.method,
-                points_mask=pmask, queries_mask=qmask)
+                points_mask=pmask, queries_mask=qmask,
+                occ_cap=occ_cap or self.occ_cap)
         return self._cache[key]
 
     def taps(self, key, builder):
@@ -152,7 +155,16 @@ class PBFNet(nn.Module):
     # fp32-exact multi-pass.  Conservation-critical convs (the ASCC output
     # stack) pin 'highest' regardless — see SymNet.setup_net.
     precision: str = "default"
-    search_method: str = "auto"  # brute | grid | auto (by problem size)
+    search_method: str = "auto"  # brute | cell | grid | auto (by size)
+    # 'cell' search window budget per probed 3-cell run (W = 3*occ_cap),
+    # scalar or per-scale list indexed by the search radius.  Finest-radius
+    # cells are physically occupancy-bounded (fluid at rest spacing r/2
+    # ~27/cell; canyon boundary measured max 24) so they get a small cheap
+    # window; coarse-radius searches see raw point sets many-per-cell and
+    # need a bigger budget (canyon boundary in 0.2-cells peaks at 94).
+    # The search cost scales linearly with the cap; window overflow is
+    # surfaced via aux['cell_overflow'].  None = [48, 128, 128, ...].
+    cell_occ_cap: Any = None
 
     # ------------------------------------------------------------------
     # setup
@@ -208,9 +220,12 @@ class PBFNet(nn.Module):
         spatially arbitrary, only safe while the in-AABB count fits)."""
         k = self.boundary_crop_max
         if self.boundary_crop_mode == "contact":
-            from ..ops.grid_search import contact_weight
-            w = contact_weight(pos, box, ext, points_mask=fluid_mask,
-                               queries_mask=box_mask)
+            # exact dense count (MXU/VPU-friendly; the hash-probe
+            # contact_weight's searchsorted loops cost ~0.8 s/step at
+            # canyon scale — see ops/cell_search.py docstring)
+            from ..ops.cell_search import contact_weight_dense
+            w = contact_weight_dense(pos, box, ext, points_mask=fluid_mask,
+                                     queries_mask=box_mask)
             order = jnp.argsort(-w).astype(jnp.int32)
             idx = order[:k]
             mask = w[idx] > 0
@@ -267,6 +282,17 @@ class PBFNet(nn.Module):
             circular=self.circular if circular is None else circular,
             precision=precision if precision is not None else self.precision,
         )
+
+    def occ_for_radius(self, radius):
+        """Resolve the 'cell' search window budget for a search radius
+        (see ``cell_occ_cap``)."""
+        caps = self.cell_occ_cap
+        if caps is None:
+            caps = [48] + [128] * max(len(self._radii) - 1, 0)
+        if not isinstance(caps, (list, tuple)):
+            return int(caps)
+        idx = int(np.argmin([abs(float(radius) - r) for r in self._radii]))
+        return int(caps[min(idx, len(caps) - 1)])
 
     # cap on a cached tap tensor's size: sharing taps across convs forces
     # XLA to materialize the full [Q, K, S] array (the inline form fuses
@@ -431,12 +457,13 @@ class PBFNet(nn.Module):
         all_pos = jnp.concatenate([pos, box_pos], axis=0)
         all_mask = jnp.concatenate([fluid_mask, box_mask], axis=0)
 
-        cache = SearchCache(self.neighbor_k, method=self.search_method)
+        cache = SearchCache(self.neighbor_k, method=self.search_method,
+                            occ_cap=self.occ_for_radius(self._radii[-1]))
         # One all->all search at the finest radius serves the fluid->all and
         # box->all convs (by index subsetting), densities, the equivariant
         # displacement, and the ASCC output layer.
         nl_all0 = cache.get("all", "all", r0, all_pos, all_mask, all_pos,
-                            all_mask)
+                            all_mask, occ_cap=self.occ_for_radius(r0))
         if self.strides[0] == 1 and self.use_bnds:
             # scale 0 of the pyramid IS all_pos (stride 1): seed the cache so
             # HRNet's dilated0->dilated0 pair reuses this list instead of
@@ -463,8 +490,10 @@ class PBFNet(nn.Module):
             if self._dens_radii[0] == r0:
                 nl_dens = nl_all0
             else:
-                nl_dens = cache.get("all", "all", self._dens_radii[0],
-                                    all_pos, all_mask, all_pos, all_mask)
+                nl_dens = cache.get(
+                    "all", "all", self._dens_radii[0], all_pos, all_mask,
+                    all_pos, all_mask,
+                    occ_cap=self.occ_for_radius(self._dens_radii[0]))
             q = nl_dens.dist / (self._dens_radii[0] ** 2)
             win = self._win_dens if self._win_dens is not None else (
                 lambda x: x)
@@ -517,7 +546,8 @@ class PBFNet(nn.Module):
                 pre_feats = jnp.concatenate(pre_feats, axis=-1)
                 pre_feats = jnp.where(fluid_mask[:, None], pre_feats, 0.0)
                 nl_pre = cache.get("pre", "all", r0, _pos_m, fluid_mask,
-                                   all_pos, all_mask)
+                                   all_pos, all_mask,
+                                   occ_cap=self.occ_for_radius(r0))
                 ans_adv = self.adv_convs[0](pre_feats * self.part_scale,
                                             _pos_m, all_pos,
                                             neighbors=nl_pre, **conv_kw)
@@ -561,7 +591,8 @@ class PBFNet(nn.Module):
                 ext_s = self._dens_radii[scale]
                 nl_s = cache.get(f"dilated{scale - 1}", f"dilated{scale}",
                                  ext_s / 2.0, dpos[scale - 1],
-                                 dmask[scale - 1], dpos[scale], dmask[scale])
+                                 dmask[scale - 1], dpos[scale], dmask[scale],
+                                 occ_cap=self.occ_for_radius(ext_s / 2.0))
                 d = point_sampling(dens_pyramid[-1], nl_s, ext_s,
                                    window_fn=self._win_dens, normalize=True)
                 d = jnp.maximum(d, 1e-2)

@@ -86,10 +86,12 @@ def select_k_valid(valid, dist, k):
     count = jnp.sum(valid, axis=1, dtype=jnp.int32)
     csum = jnp.cumsum(valid.astype(jnp.int32), axis=1)
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    # 'compare_all' lowers to dense VPU compares + reductions; the default
-    # 'scan' binary search is sequential on TPU (~10x slower here)
+    # on TPU 'compare_all' lowers to dense VPU compares + reductions and
+    # beats the sequential 'scan' binary search ~10x; on CPU it is the
+    # other way around (measured 2.5 s vs 0.25 s at [16k, 864] x k=64)
+    method = ("compare_all" if jax.default_backend() == "tpu" else "scan")
     idx = jax.vmap(lambda row: jnp.searchsorted(row, targets,
-                                                method="compare_all"))(csum)
+                                                method=method))(csum)
     mask = targets[None, :] <= count[:, None]
     idx = jnp.where(mask, idx, 0).astype(jnp.int32)
     if dist is None:
@@ -219,13 +221,21 @@ def fixed_radius_search(points,
 
 def search(points, queries, radius, k, *, method="auto", points_mask=None,
            queries_mask=None, metric="L2", ignore_query_point=False,
-           cell_cap=32, planar_axis=None):
+           cell_cap=32, planar_axis=None, occ_cap=128):
     """Dispatching fixed-radius search: 'brute' (chunked O(QN) scan, fastest
-    for small/medium scenes on TPU), 'grid' (sort-based cell lists,
-    O(N log N + Q*27*cap), for large scenes), or 'auto' by problem size."""
+    for small/medium scenes on TPU), 'cell' (sorted-window cell lists —
+    the TPU-fast large-scene path, see ops/cell_search.py), 'grid'
+    (the older hash-probe cell list, kept for comparison), or 'auto' by
+    problem size."""
     if method == "auto":
-        method = ("grid" if points.shape[0] * queries.shape[0] > 3e7
+        method = ("cell" if points.shape[0] * queries.shape[0] > 3e7
                   else "brute")
+    if method == "cell":
+        from .cell_search import cell_fixed_radius_search
+        return cell_fixed_radius_search(
+            points, queries, radius, k, points_mask=points_mask,
+            queries_mask=queries_mask, metric=metric,
+            ignore_query_point=ignore_query_point, occ_cap=occ_cap)
     if method == "grid":
         from .grid_search import grid_fixed_radius_search
         return grid_fixed_radius_search(
