@@ -69,6 +69,24 @@ class HRNet(PBFNet):
 
     # ------------------------------------------------------------------
 
+    def trunk_pairs(self):
+        """Static (inp_scale, out_scale) set the forward grid will request
+        at the standard radius ``_radii[max(i, j)]`` — drives the one-shot
+        batched pair-search prefetch (PBFNet._prefetch_pairs).  The extra
+        per-scale convs (conv_idx >= 1) reuse the last inner-loop extent
+        (the reference quirk, models/hrnet.py:120-123) so their radius can
+        differ; those fall back to lazy per-pair search."""
+        lc = self.layer_channels
+        pairs = []
+        prev = 1
+        for i in range(1, len(lc)):
+            for j in range(len(lc[i])):
+                for l in range(prev):
+                    if (l, j) not in pairs:
+                        pairs.append((l, j))
+            prev = len(lc[i])
+        return pairs
+
     def _pair_neighbors(self, ctx, inp_scale, out_scale, radius,
                         ignore_query=False):
         """Neighbor list + shared tap tensor for a scale pair — both cached

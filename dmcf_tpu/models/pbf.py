@@ -32,13 +32,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..ops import (align_vector, compute_pressure,
                    compute_transformed_dx, get_dilated_pos, masked_positions,
                    point_sampling)
 from ..ops.cconv import build_tap_tensor
-from ..ops.neighbors import NeighborList
+from ..ops.neighbors import NeighborList, batched_fixed_radius_search
 from ..ops.windows import get_window_func
 from .layers import ContinuousConv, Dense
+
+
+def _name_nl(nl: NeighborList, name: str) -> NeighborList:
+    """Tag a neighbor list's arrays as named rematerialization targets so
+    ``make_train_step``'s ``save_only_these_names`` checkpoint policy can
+    keep them across the forward/backward boundary — no gradient flows
+    through the search's sort/cumsum machinery, so recomputing it in the
+    backward pass (the default ``jax.checkpoint`` behavior) is pure waste."""
+    return NeighborList(
+        idx=checkpoint_name(nl.idx, name), mask=checkpoint_name(nl.mask,
+                                                                name),
+        dist=checkpoint_name(nl.dist, name), count=nl.count,
+        cell_overflow=nl.cell_overflow)
+
+
+def _pad_rows(x, n):
+    return x if x.shape[0] == n else jnp.pad(x, ((0, n - x.shape[0]),)
+                                             + ((0, 0),) * (x.ndim - 1))
 
 
 def subset_neighbors(nl: NeighborList, keep) -> NeighborList:
@@ -80,10 +100,10 @@ class SearchCache:
         key = (src_name, dst_name, float(radius))
         if key not in self._cache:
             from ..ops.neighbors import search
-            self._cache[key] = search(
+            self._cache[key] = _name_nl(search(
                 points, queries, radius, self.k, method=self.method,
                 points_mask=pmask, queries_mask=qmask,
-                occ_cap=occ_cap or self.occ_cap)
+                occ_cap=occ_cap or self.occ_cap), "dmcf_nbr")
         return self._cache[key]
 
     def taps(self, key, builder):
@@ -156,6 +176,20 @@ class PBFNet(nn.Module):
     # stack) pin 'highest' regardless — see SymNet.setup_net.
     precision: str = "default"
     search_method: str = "auto"  # brute | cell | grid | auto (by size)
+    # Batch the trunk's whole (scale-pair) search set into ONE vmapped
+    # dense search + ONE vmapped tap build per step.  At small/medium scene
+    # sizes the step is bound by per-op sequencer overhead, not FLOPs, so
+    # collapsing ~9-16 per-pair search blocks into one is the main
+    # single-chip throughput lever.  Auto-disabled when the stacked
+    # problem exceeds ``prefetch_max_elems`` (large scenes use the cell
+    # search per pair instead).  NOTE: under a vmapped training batch the
+    # stacked intermediates additionally scale with batch size — for very
+    # large per-sample scenes trained at large batch, turn this off.
+    batch_pair_searches: bool = True
+    # 16 pairs x 2816^2 (the WaterRamps eval capacity) is ~127M stacked
+    # distance elements = ~0.5 GB fp32 transient - fine on a 16 GB chip,
+    # and the regime where batching matters most (op-bound small scenes).
+    prefetch_max_elems: int = 192 * 1024 * 1024
     # 'cell' search window budget per probed 3-cell run (W = 3*occ_cap),
     # scalar or per-scale list indexed by the search radius.  Finest-radius
     # cells are physically occupancy-bounded (fluid at rest spacing r/2
@@ -314,11 +348,82 @@ class PBFNet(nn.Module):
             return None
         key = (src_name, dst_name, float(extents), window_name, fsz,
                bool(ignore_query))
-        return cache.taps(key, lambda: build_tap_tensor(
+        return cache.taps(key, lambda: checkpoint_name(build_tap_tensor(
             out_pos, inp_pos, nl, extents, fsz,
             window_fn=get_window_func(window_name),
             coordinate_mapping=self.coordinate_mapping,
-            interpolation=self.interpolation, align_corners=True))
+            interpolation=self.interpolation, align_corners=True),
+            "dmcf_taps"))
+
+    def trunk_pairs(self):
+        """Static (inp_scale, out_scale) pair set the trunk will request
+        this step — overridden by HRNet; used to prefetch all pair
+        searches in one batched op."""
+        return []
+
+    def _prefetch_pairs(self, cache, dpos, dmask):
+        """Run the trunk's whole pair-search set as ONE batched dense
+        search (and one batched tap build) and seed the SearchCache, so
+        ``_pair_neighbors`` hits the cache for every pair.  Exactness: the
+        batched path vmaps the same dense search the lazy path would run,
+        so seeded lists are bitwise-identical to per-pair calls."""
+        pairs = self.trunk_pairs()
+        if not pairs or not self.batch_pair_searches:
+            return
+        sizes = [int(p.shape[0]) for p in dpos]
+        if any(i >= len(sizes) or j >= len(sizes) for i, j in pairs):
+            return
+        nmax = max(sizes[i] for i, _ in pairs)
+        qmax = max(sizes[j] for _, j in pairs)
+        if len(pairs) * nmax * qmax > self.prefetch_max_elems:
+            return
+        # lazy 'auto' would switch to the cell search past this size; keep
+        # the prefetched lists identical to what lazy calls would return
+        if self.search_method == "auto" and nmax * qmax > 3e7:
+            return
+        if self.search_method not in ("auto", "brute"):
+            return
+        src = jnp.stack([_pad_rows(dpos[i], nmax) for i, _ in pairs])
+        srcm = jnp.stack([_pad_rows(dmask[i], nmax) for i, _ in pairs])
+        dst = jnp.stack([_pad_rows(dpos[j], qmax) for _, j in pairs])
+        dstm = jnp.stack([_pad_rows(dmask[j], qmax) for _, j in pairs])
+        radii = [float(self._radii[max(i, j)]) for i, j in pairs]
+        nls = batched_fixed_radius_search(
+            src, dst, np.asarray(radii, np.float32), cache.k,
+            points_mask=srcm, queries_mask=dstm)
+        nls = _name_nl(nls, "dmcf_nbr")
+        for p, (i, j) in enumerate(pairs):
+            qj = sizes[j]
+            cache._cache[(f"dilated{i}", f"dilated{j}", radii[p])] = \
+                NeighborList(idx=nls.idx[p, :qj], mask=nls.mask[p, :qj],
+                             dist=nls.dist[p, :qj], count=nls.count[p, :qj])
+
+        fsz = tuple(int(x) for x in self.kernel_size)
+        if qmax * cache.k * fsz[0] * fsz[1] * fsz[2] > \
+                self.tap_cache_max_elems:
+            return
+        # same-scale pairs are requested with ignore_query=True when
+        # ignore_query_points is set (different tap key — coincident
+        # neighbors dropped); don't build taps that won't be reused
+        tap_sel = [p for p, (i, j) in enumerate(pairs)
+                   if not (self.ignore_query_points and i == j)]
+        if not tap_sel:
+            return
+        win = get_window_func(self.window)
+        sel = np.asarray(tap_sel)
+        A = jax.vmap(lambda op, ip, nl, e: build_tap_tensor(
+            op, ip, nl, e, fsz, window_fn=win,
+            coordinate_mapping=self.coordinate_mapping,
+            interpolation=self.interpolation, align_corners=True))(
+            dst[sel], src[sel],
+            jax.tree.map(lambda x: x[sel], nls),
+            jnp.asarray(np.asarray(radii, np.float32)[sel] * 2.0))
+        A = checkpoint_name(A, "dmcf_taps")
+        for a, p in enumerate(tap_sel):
+            i, j = pairs[p]
+            key = (f"dilated{i}", f"dilated{j}", float(2.0 * radii[p]),
+                   self.window, fsz, False)
+            cache._taps[key] = A[a, :sizes[j]]
 
     # ------------------------------------------------------------------
     # physics
@@ -459,16 +564,47 @@ class PBFNet(nn.Module):
 
         cache = SearchCache(self.neighbor_k, method=self.search_method,
                             occ_cap=self.occ_for_radius(self._radii[-1]))
+
+        # Multi-scale position pyramid — built FIRST so the trunk's whole
+        # pair-search set (including the scale-0 all->all pair) can run as
+        # one batched op.
+        if self.use_bnds:
+            base_pos, base_mask = all_pos, all_mask
+        else:
+            base_pos, base_mask = pos, fluid_mask
+        all_max = base_pos.shape[0]
+        if isinstance(self.scale_size_factor, (list, tuple)):
+            factors = list(self.scale_size_factor)
+        else:
+            factors = [float(self.scale_size_factor)] * len(self.strides)
+        out_maxes = [all_max if s == 1 else
+                     max(8, int(np.ceil(all_max * factors[si])))
+                     for si, s in enumerate(self.strides)]
+        vox = (None if self.voxel_size is None
+               else np.asarray(self.voxel_size, np.float32))
+        dpos, dmask, dcount, didx = get_dilated_pos(
+            base_pos, base_mask, list(self.strides), out_maxes,
+            voxel_size=vox, centralize=self.centralize, pad=self.sample_pad,
+            hyst=self.sample_hyst)
+
+        alias0 = self.strides[0] == 1 and self.use_bnds
+        if alias0:
+            self._prefetch_pairs(cache, dpos, dmask)
+
         # One all->all search at the finest radius serves the fluid->all and
         # box->all convs (by index subsetting), densities, the equivariant
-        # displacement, and the ASCC output layer.
-        nl_all0 = cache.get("all", "all", r0, all_pos, all_mask, all_pos,
-                            all_mask, occ_cap=self.occ_for_radius(r0))
-        if self.strides[0] == 1 and self.use_bnds:
-            # scale 0 of the pyramid IS all_pos (stride 1): seed the cache so
-            # HRNet's dilated0->dilated0 pair reuses this list instead of
-            # re-searching the largest pair of the step
-            cache._cache[("dilated0", "dilated0", float(r0))] = nl_all0
+        # displacement, and the ASCC output layer.  When scale 0 of the
+        # pyramid IS all_pos (stride 1), this is the prefetched
+        # dilated0->dilated0 pair (cache hit); either way the two share one
+        # list (the reference re-searches per conv call).
+        if alias0:
+            nl_all0 = cache.get("dilated0", "dilated0", r0, all_pos,
+                                all_mask, all_pos, all_mask,
+                                occ_cap=self.occ_for_radius(r0))
+        else:
+            nl_all0 = cache.get("all", "all", r0, all_pos, all_mask,
+                                all_pos, all_mask,
+                                occ_cap=self.occ_for_radius(r0))
         nl_fluid0 = subset_neighbors(nl_all0, lambda i, d: i < n_fluid)
         nl_box0 = subset_neighbors(nl_all0, lambda i, d: i >= n_fluid)
 
@@ -561,26 +697,6 @@ class PBFNet(nn.Module):
                 feats = jnp.concatenate([ans_conv, ans_obs, ans_dense],
                                         axis=-1)
             feats = jnp.where(all_mask[:, None], feats, 0.0)
-
-        # multi-scale position pyramid
-        if self.use_bnds:
-            base_pos, base_mask = all_pos, all_mask
-        else:
-            base_pos, base_mask = pos, fluid_mask
-        all_max = base_pos.shape[0]
-        if isinstance(self.scale_size_factor, (list, tuple)):
-            factors = list(self.scale_size_factor)
-        else:
-            factors = [float(self.scale_size_factor)] * len(self.strides)
-        out_maxes = [all_max if s == 1 else
-                     max(8, int(np.ceil(all_max * factors[si])))
-                     for si, s in enumerate(self.strides)]
-        vox = (None if self.voxel_size is None
-               else np.asarray(self.voxel_size, np.float32))
-        dpos, dmask, dcount, didx = get_dilated_pos(
-            base_pos, base_mask, list(self.strides), out_maxes,
-            voxel_size=vox, centralize=self.centralize, pad=self.sample_pad,
-            hyst=self.sample_hyst)
 
         dens_pyramid = None
         if self.dens_norm:

@@ -219,6 +219,36 @@ def fixed_radius_search(points,
     return NeighborList(idx=idx, mask=mask, dist=dist, count=count)
 
 
+def batched_fixed_radius_search(points, queries, radii, k,
+                                points_mask=None, queries_mask=None,
+                                metric: str = "L2") -> NeighborList:
+    """One fused search over P stacked (points, queries, radius) problems.
+
+    ``points`` [P, N, 3], ``queries`` [P, Q, 3], ``radii`` [P].  Returns a
+    NeighborList with leading pair dimension ([P, Q, K] idx/mask/dist,
+    [P, Q] count).  Semantically identical to P independent
+    :func:`fixed_radius_search` calls (same selection order), but the
+    whole pair set runs as a handful of large batched ops instead of
+    P × ~40 small ones — at small/medium scene sizes a simulation step is
+    bound by per-op sequencer overhead, not FLOPs, so the multi-scale
+    trunk's ~9-16 pair searches dominate the step when issued one by one
+    (the reference issues one FixedRadiusSearch op launch per conv,
+    utils/convolutions.py:352-373; this is the opposite design point).
+    """
+    radii = jnp.asarray(radii, dtype=points.dtype)
+
+    def one(pts, qs, r, pm, qm):
+        return fixed_radius_search(pts, qs, r, k, points_mask=pm,
+                                   queries_mask=qm, metric=metric,
+                                   fast_path_max=pts.shape[0])
+
+    pm = (jnp.ones(points.shape[:2], bool) if points_mask is None
+          else points_mask.astype(bool))
+    qm = (jnp.ones(queries.shape[:2], bool) if queries_mask is None
+          else queries_mask.astype(bool))
+    return jax.vmap(one)(points, queries, radii, pm, qm)
+
+
 def search(points, queries, radius, k, *, method="auto", points_mask=None,
            queries_mask=None, metric="L2", ignore_query_point=False,
            cell_cap=32, planar_axis=None, occ_cap=128):

@@ -949,8 +949,16 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
             lvec = jnp.stack([losses[k2] for k2 in loss_keys])
             return (pos2, vel2), (lvec * time_w[t], stats)
 
+        # Remat policy: keep the neighbor lists and tap tensors produced in
+        # the forward pass (checkpoint_name'd "dmcf_nbr"/"dmcf_taps" in
+        # models/pbf.py) — the search's sort/top-k machinery is the most
+        # expensive non-matmul part of a step and recomputing it in the
+        # backward (the default policy) nearly doubles step time at small
+        # N where the step is op-bound.  Everything else recomputes.
+        remat_policy = jax.checkpoint_policies.save_only_these_names(
+            "dmcf_nbr", "dmcf_taps")
         (pos, vel), (lvecs, stats) = jax.lax.scan(
-            jax.checkpoint(step), (pos0, vel0),
+            jax.checkpoint(step, policy=remat_policy), (pos0, vel0),
             jnp.arange(window))
         max_nbr, avg_nbr = stats
         return (jnp.sum(lvecs, axis=0),
