@@ -132,3 +132,61 @@ class TestHaloMemoryScaling:
         temp_8 = cm.memory_analysis().temp_size_in_bytes
 
         assert temp_8 < 0.25 * temp_1, (temp_8, temp_1)
+
+    def test_canyon_scale_memory_and_exactness(self, mesh):
+        """VERDICT r2 item 4 'Done' bar at canyon scale (the reference's
+        185k-boundary demo regime, run_sample.py:121-179), on the
+        8-device mesh, asserted via memory_analysis():
+
+        - per-device DATA (arguments + outputs, the part that grows with
+          the scene) scales ~1/D, and
+        - per-device TEMP is bounded by a constant independent of N (the
+          grid search processes queries in fixed 8192-row chunks, so its
+          probe buffers don't grow with the scene),
+
+        so per-device peak = const + data/D: a scene several times one
+        chip's HBM runs once D is large enough — the scenario the GSPMD
+        annotation path could not deliver (temp relief capped at 1.58x).
+        Search outputs must match the single-device op exactly."""
+        n = 184320  # canyon boundary scale, lane-aligned
+        rng = np.random.RandomState(3)
+        pos = np.zeros((n, 3), np.float32)
+        # canyon-like: long in x, shallow in y/z
+        pos[:, 0] = rng.uniform(-20.0, 20.0, n)
+        pos[:, 1] = rng.uniform(-1.0, 1.0, n)
+        pos[:, 2] = rng.uniform(-2.0, 2.0, n)
+        mask = np.ones(n, bool)
+        feats = rng.normal(size=(n, 4)).astype(np.float32)
+
+        single = jax.jit(lambda p, m: grid_fixed_radius_search(
+            p, p, RADIUS, K, points_mask=m, queries_mask=m).count)
+        c1 = single.lower(jnp.asarray(pos), jnp.asarray(mask)).compile()
+        ma1 = c1.memory_analysis()
+
+        parts = slab_partition(pos, mask, 8, payload=feats)
+        assert min_slab_width(parts["bounds"]) > RADIUS
+        parts = shard_parts(parts, mesh)
+        run = make_halo_search_conv(mesh, radius=RADIUS, k=K,
+                                    halo_cap=4096)
+        comp = jax.jit(run).lower(parts).compile()
+        ma8 = comp.memory_analysis()
+        # memory_analysis reports PER-DEVICE sizes for the SPMD program.
+        # Data (args+outputs) must scale ~1/D; allow 2/D of slack for the
+        # received halos and lane padding.
+        data_1 = ma1.argument_size_in_bytes + ma1.output_size_in_bytes
+        data_8 = ma8.argument_size_in_bytes + ma8.output_size_in_bytes
+        assert data_8 < 2.0 * data_1 / 8, (data_8, data_1)
+        # Temp must stay chunk-bound (constant in N): no worse than the
+        # single-device program's temp on the same problem.
+        assert ma8.temp_size_in_bytes <= 1.1 * ma1.temp_size_in_bytes, (
+            ma8.temp_size_in_bytes, ma1.temp_size_in_bytes)
+
+        counts, over = comp(parts)
+        assert int(over) == 0
+        ref_counts = np.asarray(single(jnp.asarray(pos),
+                                       jnp.asarray(mask)))
+        got = np.zeros((n,), np.float32)
+        src = np.asarray(parts["src"]).reshape(-1)
+        m = np.asarray(parts["mask"]).reshape(-1)
+        got[src[m]] = np.asarray(counts).reshape(-1)[m]
+        np.testing.assert_array_equal(got, ref_counts.astype(np.float32))
