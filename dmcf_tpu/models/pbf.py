@@ -53,7 +53,8 @@ def _name_nl(nl: NeighborList, name: str) -> NeighborList:
         idx=checkpoint_name(nl.idx, name), mask=checkpoint_name(nl.mask,
                                                                 name),
         dist=checkpoint_name(nl.dist, name), count=nl.count,
-        cell_overflow=nl.cell_overflow)
+        cell_overflow=nl.cell_overflow,
+        disp=None if nl.disp is None else checkpoint_name(nl.disp, name))
 
 
 def _pad_rows(x, n):
@@ -68,18 +69,26 @@ def subset_neighbors(nl: NeighborList, keep) -> NeighborList:
     mask = nl.mask & keep(nl.idx, nl.dist)
     return NeighborList(idx=jnp.where(mask, nl.idx, 0), mask=mask,
                         dist=jnp.where(mask, nl.dist, 0.0),
-                        count=jnp.sum(mask, axis=1, dtype=jnp.int32))
+                        count=jnp.sum(mask, axis=1, dtype=jnp.int32),
+                        disp=None if nl.disp is None else
+                        jnp.where(mask[..., None], nl.disp, 0.0))
 
 
 def drop_coincident(nl: NeighborList, points, queries) -> NeighborList:
     """Derive the ``ignore_query_point`` variant of a neighbor list by
     exact position equality (cheap on the K-wide padded list; stored
     distances may carry expansion-form noise at zero)."""
-    same = jnp.all(points[nl.idx] == queries[:, None, :], axis=-1)
+    if nl.disp is not None:
+        # disp == 0 exactly <=> coincident (disp is points[idx] - queries)
+        same = nl.mask & jnp.all(nl.disp == 0.0, axis=-1)
+    else:
+        same = jnp.all(points[nl.idx] == queries[:, None, :], axis=-1)
     mask = nl.mask & jnp.logical_not(same)
     return NeighborList(idx=jnp.where(mask, nl.idx, 0), mask=mask,
                         dist=jnp.where(mask, nl.dist, 0.0),
-                        count=jnp.sum(mask, axis=1, dtype=jnp.int32))
+                        count=jnp.sum(mask, axis=1, dtype=jnp.int32),
+                        disp=None if nl.disp is None else
+                        jnp.where(mask[..., None], nl.disp, 0.0))
 
 
 class SearchCache:
@@ -396,7 +405,9 @@ class PBFNet(nn.Module):
             qj = sizes[j]
             cache._cache[(f"dilated{i}", f"dilated{j}", radii[p])] = \
                 NeighborList(idx=nls.idx[p, :qj], mask=nls.mask[p, :qj],
-                             dist=nls.dist[p, :qj], count=nls.count[p, :qj])
+                             dist=nls.dist[p, :qj], count=nls.count[p, :qj],
+                             disp=None if nls.disp is None else
+                             nls.disp[p, :qj])
 
         fsz = tuple(int(x) for x in self.kernel_size)
         if qmax * cache.k * fsz[0] * fsz[1] * fsz[2] > \
@@ -588,7 +599,13 @@ class PBFNet(nn.Module):
             hyst=self.sample_hyst)
 
         alias0 = self.strides[0] == 1 and self.use_bnds
-        if alias0:
+        # Batched prefetch only on the inference/rollout path: it wins
+        # ~1.5x forward throughput (sequencer-overhead-bound regime), but
+        # under BPTT the VJP of the stacked search/tap build costs more
+        # than the per-pair ops it replaced — measured A/B on TPU
+        # (scripts/probe_train_variants.py): train step 774 ms (lazy) vs
+        # 1080 ms (prefetched) at the wide-column scene.
+        if alias0 and not training:
             self._prefetch_pairs(cache, dpos, dmask)
 
         # One all->all search at the finest radius serves the fluid->all and

@@ -126,8 +126,13 @@ def build_tap_tensor(out_positions,
         rel_scale = (1.0 / radius)[:, None, None]
         r_sq = (radius * radius)[:, None]
 
-    nbr_pos = inp_positions[idx]  # [Q, K, 3]
-    rel = (nbr_pos - out_positions[:, None, :]) * rel_scale
+    if neighbors.disp is not None:
+        # the search kept points[idx] - queries: no re-gather (and no
+        # scatter-add VJP) for the tap geometry
+        rel = neighbors.disp * rel_scale
+    else:
+        nbr_pos = inp_positions[idx]  # [Q, K, 3]
+        rel = (nbr_pos - out_positions[:, None, :]) * rel_scale
 
     wz, wy, wx = _tap_weights(rel, (fz, fy, fx), coordinate_mapping,
                               interpolation, align_corners, offset)
@@ -229,8 +234,11 @@ def continuous_conv(kernel,
             rel_scale = (1.0 / radius)[:, None, None]
             r_sq = (radius * radius)[:, None]
 
-        nbr_pos = inp_positions[idx]  # [Q, K, 3]
-        rel = (nbr_pos - out_positions[:, None, :]) * rel_scale
+        if neighbors.disp is not None:
+            rel = neighbors.disp * rel_scale
+        else:
+            nbr_pos = inp_positions[idx]  # [Q, K, 3]
+            rel = (nbr_pos - out_positions[:, None, :]) * rel_scale
 
         wz, wy, wx = _tap_weights(rel, filter_size, coordinate_mapping,
                                   interpolation, align_corners, offset)

@@ -38,6 +38,14 @@ class NeighborList(NamedTuple):
            the grid search's per-cell cap (grid_search.py); > 0 means
            potentially lost neighbors even when count <= K.  None for
            searches without cell structure.
+    disp:  optional [Q, K, 3] displacement ``points[idx] - queries`` (0
+           where invalid).  The search gathers neighbor positions anyway to
+           compute exact distances; keeping the displacements lets every
+           downstream consumer (tap tensors for each window, density
+           kernels) reuse them — [Q, K, 3] row gathers are the hottest
+           non-matmul op of a step on TPU (~6 ns/row), and their VJP is a
+           scatter-add, which is worse.  None when the producing search
+           skipped it (chunked/grid paths).
     """
 
     idx: jax.Array
@@ -45,6 +53,7 @@ class NeighborList(NamedTuple):
     dist: jax.Array
     count: jax.Array
     cell_overflow: jax.Array = None
+    disp: jax.Array = None
 
     @property
     def overflow(self):
@@ -168,8 +177,17 @@ def fixed_radius_search(points,
         if queries_mask is not None:
             valid &= queries_mask.astype(bool)[:, None]
         idx, mask, _, count = select_k_valid(valid, None, k)
-        dist = _recompute_dist(points, queries, idx, mask, metric)
-        return NeighborList(idx=idx, mask=mask, dist=dist, count=count)
+        d3 = points[idx] - queries[:, None, :]
+        if metric == "L2":
+            dist = jnp.sum(d3 * d3, axis=-1)
+        elif metric == "L1":
+            dist = jnp.sum(jnp.abs(d3), axis=-1)
+        else:
+            dist = jnp.max(jnp.abs(d3), axis=-1)
+        dist = jnp.where(mask, dist, 0.0)
+        disp = jnp.where(mask[..., None], d3, 0.0)
+        return NeighborList(idx=idx, mask=mask, dist=dist, count=count,
+                            disp=disp)
 
     chunk = min(chunk, max(n, 1))
     n_chunks = -(-n // chunk)

@@ -345,8 +345,11 @@ def compute_transformed_dx(pos,
     averaged quaternion and scaled by the neighbor's predicted scale."""
     nl = fixed_radius_search(pos, pos, radius, k, points_mask=mask,
                              queries_mask=mask)
-    dx = pos[nl.idx] - pos[:, None, :]  # [N, K, 3]
-    dx = jnp.where(nl.mask[..., None], dx, 0.0)
+    if nl.disp is not None:
+        dx = nl.disp  # already masked to 0 at invalid slots
+    else:
+        dx = pos[nl.idx] - pos[:, None, :]  # [N, K, 3]
+        dx = jnp.where(nl.mask[..., None], dx, 0.0)
     if rot is not None:
         nbr_rot = rot[nl.idx]
         q = quat_mean(nbr_rot, rot[:, None, :])

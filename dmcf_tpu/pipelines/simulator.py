@@ -892,7 +892,14 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
         def body(carry):
             p, pos, vel, prev_err, prev_derr, stopped = carry
             s = make_sample(pos, vel)
-            pos2, vel2, _ = model.apply(params, s, training=False)
+            # training=True: take the LAZY per-pair search path.  The
+            # batched prefetch pads every pair to the max pair size, and
+            # under the vmapped batch that inflates the step's dominant
+            # [batch*pairs*Q*K, 3] position gathers ~4-6x at small scenes
+            # (traced: 2x15 ms per warm-up forward vs ~2 ms lazy).  No
+            # dropout-style semantics depend on the flag, so this only
+            # selects the execution strategy.
+            pos2, vel2, _ = model.apply(params, s, training=True)
             diverged = jnp.asarray(False)
             err = prev_err
             derr = prev_derr
@@ -949,17 +956,34 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
             lvec = jnp.stack([losses[k2] for k2 in loss_keys])
             return (pos2, vel2), (lvec * time_w[t], stats)
 
-        # Remat policy: keep the neighbor lists and tap tensors produced in
-        # the forward pass (checkpoint_name'd "dmcf_nbr"/"dmcf_taps" in
-        # models/pbf.py) — the search's sort/top-k machinery is the most
-        # expensive non-matmul part of a step and recomputing it in the
-        # backward (the default policy) nearly doubles step time at small
-        # N where the step is op-bound.  Everything else recomputes.
-        remat_policy = jax.checkpoint_policies.save_only_these_names(
-            "dmcf_nbr", "dmcf_taps")
+        # Remat policy, measured on TPU (scripts/probe_train_variants.py,
+        # wide-column scene): saving the checkpoint_name'd neighbor lists
+        # and/or tap tensors across the fwd/bwd boundary LOSES to full
+        # recompute (774 ms plain vs 1080/1170/1262 ms saving) — at small
+        # N the step is op-bound and the saved residuals' materialization
+        # costs more than recomputing the search.  Default is therefore
+        # plain jax.checkpoint; DMCF_SAVE_SEARCHES=all|nbr keeps the
+        # alternative policies available for large-N regimes where
+        # recompute is the expensive side.
+        save_mode = os.environ.get("DMCF_SAVE_SEARCHES", "0")
+        if save_mode == "full":
+            # no rematerialization: save every intermediate across the
+            # fwd/bwd boundary.  At small scenes the whole window's
+            # residuals are a few hundred MB — recomputing the forward in
+            # the backward (what jax.checkpoint trades memory for) only
+            # re-pays the step's op-bound gather/sort machinery.
+            ckpt_step = step
+        elif save_mode == "0":
+            ckpt_step = jax.checkpoint(step)
+        else:
+            names = ("dmcf_nbr",) if save_mode == "nbr" else (
+                "dmcf_nbr", "dmcf_taps")
+            ckpt_step = jax.checkpoint(
+                step,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    *names))
         (pos, vel), (lvecs, stats) = jax.lax.scan(
-            jax.checkpoint(step, policy=remat_policy), (pos0, vel0),
-            jnp.arange(window))
+            ckpt_step, (pos0, vel0), jnp.arange(window))
         max_nbr, avg_nbr = stats
         return (jnp.sum(lvecs, axis=0),
                 (jnp.max(max_nbr), jnp.mean(avg_nbr)))

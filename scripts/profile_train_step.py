@@ -7,10 +7,14 @@ the base variant when --trace is given.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 import yaml
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -18,6 +22,10 @@ def main():
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cfg", default="configs/column/symnet_wide.yml")
+    ap.add_argument("--no_prefetch", action="store_true",
+                    help="disable the batched pair-search prefetch")
+    ap.add_argument("--base_only", action="store_true",
+                    help="only time the base variant (fast A/B bisect)")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +51,8 @@ def main():
                             window=window, pre_frames=warm, **dg, **tr)
     batch = next(loader)
 
+    if args.no_prefetch:
+        cfg["model"]["batch_pair_searches"] = False
     model = build_model(cfg["model"])
     loss_cfg = cfg["model"]["loss"]
     loss_fns = {k: get_loss(**dict(v)) for k, v in loss_cfg.items()}
@@ -88,6 +98,10 @@ def main():
         return dt
 
     t_base = timeit("base (warm5 win5 dens-guard grad)")
+    if args.base_only:
+        import sys
+        sys.stdout.flush()
+        os._exit(0)
     timeit("no dens guard", max_dens_err=None)
     timeit("window 3", window=3)
     t1 = timeit("window 1", window=1)
@@ -135,8 +149,6 @@ def main():
         jax.profiler.stop_trace()
         print("trace written to /tmp/train_step_trace")
 
-    import os
-    import sys
     sys.stdout.flush()
     os._exit(0)
 
