@@ -199,6 +199,13 @@ class PBFNet(nn.Module):
     # distance elements = ~0.5 GB fp32 transient - fine on a 16 GB chip,
     # and the regime where batching matters most (op-bound small scenes).
     prefetch_max_elems: int = 192 * 1024 * 1024
+    # The prefetch pads every pair to the LARGEST pair's (n, q); its win
+    # (fewer op launches) only beats its cost (padding-inflated row
+    # gathers) while the step is op-count-bound.  Measured on TPU: column
+    # valid rollout (448 rows) 19.9 -> 29.3 steps/s with prefetch, but the
+    # WaterRamps bench scene (2816 rows) 137 -> 54 steps/s — past ~1k rows
+    # the inflated gathers dominate.  Gate on the padded row count.
+    prefetch_max_q: int = 1024
     # 'cell' search window budget per probed 3-cell run (W = 3*occ_cap),
     # scalar or per-scale list indexed by the search radius.  Finest-radius
     # cells are physically occupancy-bounded (fluid at rest spacing r/2
@@ -385,6 +392,8 @@ class PBFNet(nn.Module):
         nmax = max(sizes[i] for i, _ in pairs)
         qmax = max(sizes[j] for _, j in pairs)
         if len(pairs) * nmax * qmax > self.prefetch_max_elems:
+            return
+        if max(nmax, qmax) > self.prefetch_max_q:
             return
         # lazy 'auto' would switch to the cell search past this size; keep
         # the prefetched lists identical to what lazy calls would return

@@ -143,6 +143,13 @@ def main():
         "--pipeline.run_valid_every_epoch", "False",
         "--pipeline.run_test_every_epoch", "False",
         "--pipeline.log_every", "10",
+        # window 2 (vs the config's opening 3): the fused tap tensors of
+        # batch 16 x window 3 x 4.3k particles exceed one chip's HBM under
+        # the scan's rematerialization (measured OOM at 16 GB); window 2
+        # keeps the reference's batch-16 budget shape while the loader
+        # headroom question (the point of this drive) is unaffected
+        "--pipeline.windows", "[2]",
+        "--pipeline.window_bnds", "[]",
         "--pipeline.data_generator.train.num_workers", str(args.workers),
     ]
     print("running:", " ".join(cmd))
