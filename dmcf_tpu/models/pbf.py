@@ -353,22 +353,32 @@ class PBFNet(nn.Module):
 
     def pair_taps(self, cache, src_name, dst_name, nl, extents, inp_pos,
                   out_pos, window_name=None, filter_size=None,
-                  ignore_query=False):
+                  ignore_query=False, dtype=None):
         """Memoized conv tap tensor for a (pair, radius, window, filter-size)
         combination — shared by every conv of the step over that geometry.
         Returns None (= build inline, fused) when the tensor would exceed
-        ``tap_cache_max_elems``."""
+        ``tap_cache_max_elems``.
+
+        ``dtype``: tap storage dtype.  Default-precision trunk convs cast
+        taps to bf16 at use anyway (ops/cconv.py fast path), so caching
+        them in bf16 is value-identical while halving tap HBM traffic and
+        residency; precision-pinned consumers (the ASCC momentum stack)
+        pass float32 explicitly."""
         fsz = tuple(int(x) for x in (filter_size or self.kernel_size))
         q, k = nl.idx.shape
         if q * k * fsz[0] * fsz[1] * fsz[2] > self.tap_cache_max_elems:
             return None
+        if dtype is None:
+            dtype = (jnp.bfloat16 if self.precision in (None, "default")
+                     else jnp.float32)
         key = (src_name, dst_name, float(extents), window_name, fsz,
-               bool(ignore_query))
+               bool(ignore_query), jnp.dtype(dtype).name)
         return cache.taps(key, lambda: checkpoint_name(build_tap_tensor(
             out_pos, inp_pos, nl, extents, fsz,
             window_fn=get_window_func(window_name),
             coordinate_mapping=self.coordinate_mapping,
-            interpolation=self.interpolation, align_corners=True),
+            interpolation=self.interpolation, align_corners=True,
+            dtype=dtype),
             "dmcf_taps"))
 
     def trunk_pairs(self):
@@ -431,10 +441,13 @@ class PBFNet(nn.Module):
             return
         win = get_window_func(self.window)
         sel = np.asarray(tap_sel)
+        tdtype = (jnp.bfloat16 if self.precision in (None, "default")
+                  else jnp.float32)
         A = jax.vmap(lambda op, ip, nl, e: build_tap_tensor(
             op, ip, nl, e, fsz, window_fn=win,
             coordinate_mapping=self.coordinate_mapping,
-            interpolation=self.interpolation, align_corners=True))(
+            interpolation=self.interpolation, align_corners=True,
+            dtype=tdtype))(
             dst[sel], src[sel],
             jax.tree.map(lambda x: x[sel], nls),
             jnp.asarray(np.asarray(radii, np.float32)[sel] * 2.0))
@@ -442,7 +455,7 @@ class PBFNet(nn.Module):
         for a, p in enumerate(tap_sel):
             i, j = pairs[p]
             key = (f"dilated{i}", f"dilated{j}", float(2.0 * radii[p]),
-                   self.window, fsz, False)
+                   self.window, fsz, False, jnp.dtype(tdtype).name)
             cache._taps[key] = A[a, :sizes[j]]
 
     # ------------------------------------------------------------------

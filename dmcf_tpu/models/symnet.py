@@ -61,10 +61,13 @@ class SymNet(HRNet):
         # coincident points dropped (ignore_query_points=True)
         from .pbf import drop_coincident
         nl = drop_coincident(ctx["nl_all0"], all_pos, all_pos)
+        # float32 taps: the ASCC stack's momentum guarantee relies on
+        # pair-exact cancellation at 'highest' precision — bf16 taps would
+        # degrade the residual from ~1e-9 to ~1e-4 (verify-skill invariant)
         taps = self.pair_taps(ctx["cache"], "all", "all", nl, ext, all_pos,
                               all_pos, window_name=self.window_sym,
                               filter_size=self.sym_kernel_size,
-                              ignore_query=True)
+                              ignore_query=True, dtype=jnp.float32)
 
         for conv in self.sym_convs:
             ans = jax.nn.relu(ans)

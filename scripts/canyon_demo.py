@@ -117,7 +117,8 @@ def main():
 
     strip = os.path.join(root, "docs", "canyon_demo_r3_strip.png")
     r = subprocess.run([sys.executable, "-m", "dmcf_tpu.viz.draw2d", h5,
-                        strip, "--num_frames", "6"], cwd=root)
+                        strip, "--num_frames", "6",
+                        "--pointsets", "pred,Ours"], cwd=root)
     print("strip:", strip, "rc=", r.returncode)
     with open(os.path.join(root, "docs", "canyon_demo_r3.json"), "w") as f:
         json.dump(report, f, indent=1)
