@@ -26,33 +26,61 @@ def main():
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--train", action="store_true",
                     help="also trace one train step")
+    ap.add_argument("--bench", action="store_true",
+                    help="trace the bench.py scene instead of a dataset")
     ap.add_argument("--out", default="/tmp/fwd_trace")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from dmcf_tpu.data import DatasetGroup, get_dataloader
     from dmcf_tpu.models import build_model
     from dmcf_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
 
     cfg = yaml.safe_load(open(args.cfg))
-    ds = DatasetGroup(**cfg["dataset"], split="train")
-    pcfg = cfg["pipeline"]
-    dg = dict(pcfg["data_generator"])
-    tr = dict(dg.pop("train"))
-    dg.pop("valid", None), dg.pop("test", None)
-    loader = get_dataloader(ds.train, batch_size=int(pcfg["batch_size"]),
-                            window=5, pre_frames=5, **dg, **tr)
-    batch = next(loader)
-    sample = {k: jnp.asarray(v[0]) for k, v in batch.items()
-              if v is not None and k != "pre"}
-    sample["pos"] = sample["pos"][0]
-    sample["vel"] = sample["vel"][0]
-    if "grav" in sample:
-        sample["grav"] = sample["grav"][0]
+    if args.bench:
+        # the exact bench.py scene (WaterRamps-scale SymNet free rollout)
+        from bench import build_scene
+        from dmcf_tpu.data.dataflow import pad_particles, sentinel_rows
+        pos0, box, nrm = build_scene()
+        n0 = pos0.shape[0]
+        cap = int(-(-n0 // 128) * 128)
+        pos = np.concatenate([pos0, sentinel_rows(cap - n0)], 0)
+        b_cap = int(-(-box.shape[0] // 128) * 128)
+        box_p = pad_particles(box, b_cap)
+        box_p[box.shape[0]:] = sentinel_rows(b_cap - box.shape[0],
+                                             offset=cap)
+        mcfg = cfg["model"]
+        grav = np.zeros((cap, 3), np.float32)
+        grav[:, 1] = float(mcfg.get("grav", -9.81))
+        sample = {
+            "pos": jnp.asarray(pos),
+            "vel": jnp.zeros((cap, 3), jnp.float32),
+            "grav": jnp.asarray(grav),
+            "box": jnp.asarray(box_p),
+            "box_normals": jnp.asarray(pad_particles(nrm, b_cap)),
+            "fluid_mask": jnp.asarray(np.arange(cap) < n0),
+            "box_mask": jnp.asarray(np.arange(b_cap) < box.shape[0]),
+        }
+    else:
+        from dmcf_tpu.data import DatasetGroup, get_dataloader
+        ds = DatasetGroup(**cfg["dataset"], split="train")
+        pcfg = cfg["pipeline"]
+        dg = dict(pcfg["data_generator"])
+        tr = dict(dg.pop("train"))
+        dg.pop("valid", None), dg.pop("test", None)
+        loader = get_dataloader(ds.train,
+                                batch_size=int(pcfg["batch_size"]),
+                                window=5, pre_frames=5, **dg, **tr)
+        batch = next(loader)
+        sample = {k: jnp.asarray(v[0]) for k, v in batch.items()
+                  if v is not None and k != "pre"}
+        sample["pos"] = sample["pos"][0]
+        sample["vel"] = sample["vel"][0]
+        if "grav" in sample:
+            sample["grav"] = sample["grav"][0]
 
     model = build_model(cfg["model"])
     params = jax.jit(lambda k, s: model.init(k, s, training=False))(
@@ -84,6 +112,8 @@ def main():
     jax.profiler.stop_trace()
     print("trace:", args.out)
 
+    if args.train and args.bench:
+        raise SystemExit("--train needs the dataset path (no --bench)")
     if args.train:
         import optax
         from dmcf_tpu.models.losses import get_loss
