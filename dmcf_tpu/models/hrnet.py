@@ -96,7 +96,8 @@ class HRNet(PBFNet):
             f"dilated{inp_scale}", f"dilated{out_scale}", radius,
             ctx["dilated_pos"][inp_scale], ctx["dilated_mask"][inp_scale],
             ctx["dilated_pos"][out_scale], ctx["dilated_mask"][out_scale],
-            occ_cap=self.occ_for_radius(radius))
+            occ_cap=self.occ_for_radius(radius),
+            k=self.k_for_pair(inp_scale, out_scale))
         if ignore_query:
             from .pbf import drop_coincident
             nl = drop_coincident(nl, ctx["dilated_pos"][inp_scale],

@@ -97,22 +97,38 @@ class SearchCache:
     over the same geometry reuses both (the reference re-searches and
     re-interpolates inside every conv call, utils/convolutions.py:352-379)."""
 
-    def __init__(self, k: int, method: str = "auto", occ_cap: int = 128):
+    def __init__(self, k: int, method: str = "auto", occ_cap: int = 128,
+                 transpose_reuse: bool = False):
         self.k = k
         self.method = method
         self.occ_cap = occ_cap
+        self.transpose_reuse = transpose_reuse
         self._cache: Dict[Tuple, NeighborList] = {}
         self._taps: Dict[Tuple, jax.Array] = {}
 
     def get(self, src_name, dst_name, radius, points, pmask, queries, qmask,
-            occ_cap=None):
+            occ_cap=None, k=None):
         key = (src_name, dst_name, float(radius))
         if key not in self._cache:
-            from ..ops.neighbors import search
-            self._cache[key] = _name_nl(search(
-                points, queries, radius, self.k, method=self.method,
-                points_mask=pmask, queries_mask=qmask,
-                occ_cap=occ_cap or self.occ_cap), "dmcf_nbr")
+            tkey = (dst_name, src_name, float(radius))
+            if (self.transpose_reuse and src_name != dst_name
+                    and tkey in self._cache):
+                # the L2 ball is symmetric: derive this pair from its
+                # already-searched transpose with one sort over Q*K pairs
+                # instead of a second O(Q*N) distance pass.  Exact unless
+                # the forward list overflowed its K (surfaced via
+                # aux['pair_overflow'] — an error condition regardless).
+                from ..ops.neighbors import invert_neighbors_list
+                self._cache[key] = _name_nl(invert_neighbors_list(
+                    self._cache[tkey], queries.shape[0], k or self.k),
+                    "dmcf_nbr")
+            else:
+                from ..ops.neighbors import search
+                self._cache[key] = _name_nl(search(
+                    points, queries, radius, k or self.k,
+                    method=self.method, points_mask=pmask,
+                    queries_mask=qmask,
+                    occ_cap=occ_cap or self.occ_cap), "dmcf_nbr")
         return self._cache[key]
 
     def taps(self, key, builder):
@@ -164,6 +180,24 @@ class PBFNet(nn.Module):
     sym_axis: int = 2  # accepted here so configs pass through uniformly
     # --- TPU-specific knobs ---
     neighbor_k: int = 64
+    # Per-scale-gap neighbor budgets for cross-scale (downsampling) trunk
+    # pairs: K for a conv from scale i to scale j > i is
+    # ``neighbor_k_gaps[min(j - i - 1, len - 1)]``.  A coarse query at
+    # radius r_j sees ~(stride_j / stride_i)^dim points of scale i, so one
+    # global K either silently truncates downsampling pairs (the reference
+    # consumes ALL in-radius neighbors via ragged lists,
+    # utils/convolutions.py:352-373) or overpays same-scale ones.  Measured
+    # on the WaterRamps bench scene (K=32): pair (0,1) peaks at 49 and
+    # (0,2) at 197 true neighbors — 32 dropped up to 85% of the mass.
+    # None (default) keeps the single ``neighbor_k`` everywhere.
+    # Truncation on ANY trunk pair is surfaced via aux['pair_overflow'].
+    neighbor_k_gaps: Any = None
+    # Derive each (j, i) trunk pair search from its already-computed
+    # (i, j) transpose (one sort over Q*K pairs) instead of a second
+    # O(Q*N) distance pass — the L2 ball is symmetric, so the derived
+    # list is exact whenever the forward list didn't overflow.  Saves
+    # ~30% of a step's search volume on 3-scale trunks.
+    transpose_search_reuse: bool = False
     # fixed-shape analog of the reference's per-step boundary AABB crop
     # (models/pbf_model.py:330-336): when > 0 and smaller than the padded
     # boundary array, the step compacts the boundary particles inside the
@@ -333,6 +367,17 @@ class PBFNet(nn.Module):
             precision=precision if precision is not None else self.precision,
         )
 
+    def k_for_pair(self, inp_scale, out_scale):
+        """Neighbor budget for a trunk conv from ``inp_scale`` to
+        ``out_scale`` (see ``neighbor_k_gaps``)."""
+        gap = int(out_scale) - int(inp_scale)
+        if gap <= 0 or self.neighbor_k_gaps is None:
+            return self.neighbor_k
+        gaps = self.neighbor_k_gaps
+        if not isinstance(gaps, (list, tuple)):
+            return int(gaps)
+        return int(gaps[min(gap - 1, len(gaps) - 1)])
+
     def occ_for_radius(self, radius):
         """Resolve the 'cell' search window budget for a search radius
         (see ``cell_occ_cap``)."""
@@ -395,6 +440,12 @@ class PBFNet(nn.Module):
         so seeded lists are bitwise-identical to per-pair calls."""
         pairs = self.trunk_pairs()
         if not pairs or not self.batch_pair_searches:
+            return
+        # pairs with a non-default K budget (neighbor_k_gaps) can't join the
+        # fixed-K stacked search; they fall back to the lazy per-pair path
+        pairs = [(i, j) for i, j in pairs
+                 if self.k_for_pair(i, j) == self.neighbor_k]
+        if not pairs:
             return
         sizes = [int(p.shape[0]) for p in dpos]
         if any(i >= len(sizes) or j >= len(sizes) for i, j in pairs):
@@ -596,7 +647,8 @@ class PBFNet(nn.Module):
         all_mask = jnp.concatenate([fluid_mask, box_mask], axis=0)
 
         cache = SearchCache(self.neighbor_k, method=self.search_method,
-                            occ_cap=self.occ_for_radius(self._radii[-1]))
+                            occ_cap=self.occ_for_radius(self._radii[-1]),
+                            transpose_reuse=self.transpose_search_reuse)
 
         # Multi-scale position pyramid — built FIRST so the trunk's whole
         # pair-search set (including the scale-0 all->all pair) can run as
@@ -747,7 +799,8 @@ class PBFNet(nn.Module):
                 nl_s = cache.get(f"dilated{scale - 1}", f"dilated{scale}",
                                  ext_s / 2.0, dpos[scale - 1],
                                  dmask[scale - 1], dpos[scale], dmask[scale],
-                                 occ_cap=self.occ_for_radius(ext_s / 2.0))
+                                 occ_cap=self.occ_for_radius(ext_s / 2.0),
+                                 k=self.k_for_pair(scale - 1, scale))
                 d = point_sampling(dens_pyramid[-1], nl_s, ext_s,
                                    window_fn=self._win_dens, normalize=True)
                 d = jnp.maximum(d, 1e-2)
@@ -818,10 +871,18 @@ class PBFNet(nn.Module):
         # _avg_neighbors debug stat (utils/convolutions.py:384-388); also
         # feeds padded-K bucket monitoring (overflow = lost neighbors)
         n_valid = jnp.maximum(jnp.sum(ctx["all_mask"]), 1)
+        # worst per-pair truncation across every search of the step:
+        # max(count - K) > 0 means a conv silently dropped neighbors on
+        # some pair (the gap the per-pair budgets exist to close)
+        pair_over = jnp.asarray(0, jnp.int32)
+        for nl in ctx["cache"]._cache.values():
+            pair_over = jnp.maximum(
+                pair_over, jnp.max(nl.count) - nl.idx.shape[1])
         aux = {
             "num_fluid_neighbors": num_fluid_neighbors,
             "pos_correction": pos_correction,
             "neighbor_overflow": jnp.max(ctx["nl_all0"].count),
+            "pair_overflow": pair_over,
             "avg_neighbors": jnp.sum(jnp.where(
                 ctx["all_mask"], ctx["nl_all0"].count, 0)) / n_valid,
             "scale_counts": jnp.stack([jnp.asarray(c, jnp.int32)

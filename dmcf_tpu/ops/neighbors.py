@@ -305,7 +305,14 @@ def invert_neighbors_list(nl: NeighborList, num_points: int,
 
     Sort-based, fixed shapes: pairs are sorted by input index; each input's
     run of pairs becomes its padded row (capped at ``k_out``; the true count
-    is returned for overflow tracking).
+    is returned for overflow tracking).  Distances carry over unchanged
+    (symmetric); displacements flip sign (``disp`` is points - queries).
+
+    Because an L2 ball is symmetric, ``invert(search(A->B)) == search(B->A)``
+    exactly whenever the forward list did not overflow its K — the
+    SearchCache uses this to derive each trunk (j, i) pair search from its
+    already-computed (i, j) transpose with one small sort over Q*K pairs
+    instead of a second O(Q*N) distance pass.
     """
     q, k = nl.idx.shape
     flat_idx = jnp.where(nl.mask, nl.idx, num_points).reshape(-1)
@@ -327,8 +334,12 @@ def invert_neighbors_list(nl: NeighborList, num_points: int,
     gather = jnp.clip(gather, 0, q * k - 1)
     out_idx = jnp.where(valid, sorted_rows[gather], 0)
     out_dist = jnp.where(valid, sorted_dist[gather], 0.0)
+    disp = None
+    if nl.disp is not None:
+        sorted_disp = nl.disp.reshape(q * k, -1)[order]
+        disp = jnp.where(valid[..., None], -sorted_disp[gather], 0.0)
     return NeighborList(idx=out_idx.astype(jnp.int32), mask=valid,
-                        dist=out_dist, count=counts)
+                        dist=out_dist, count=counts, disp=disp)
 
 
 def radius_search(points,

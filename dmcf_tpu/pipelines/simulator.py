@@ -153,20 +153,23 @@ class Simulator(BasePipeline):
         if key not in self._jit_cache:
             def roll(params, state):
                 def body(carry, _):
-                    pos, vel, mx, av = carry
+                    pos, vel, mx, po, av = carry
                     s = dict(state)
                     s["pos"], s["vel"] = pos, vel
                     p, v, aux = self._model_step(params, s)
                     mx = jnp.maximum(mx, aux["neighbor_overflow"])
+                    po = jnp.maximum(po, aux.get("pair_overflow", po))
                     av = av + aux["avg_neighbors"]
-                    return (p, v, mx, av), (p, v)
-                (_, _, mx, av), (ps, vs) = jax.lax.scan(
+                    return (p, v, mx, po, av), (p, v)
+                (_, _, mx, po, av), (ps, vs) = jax.lax.scan(
                     body, (state["pos"], state["vel"],
-                           jnp.asarray(0, jnp.int32), jnp.asarray(0.0)),
+                           jnp.asarray(0, jnp.int32),
+                           jnp.asarray(-(2 ** 30), jnp.int32),
+                           jnp.asarray(0.0)),
                     None, length=timesteps - 1)
                 ps = jnp.concatenate([state["pos"][None], ps], 0)
                 vs = jnp.concatenate([state["vel"][None], vs], 0)
-                return ps, vs, mx, av / max(timesteps - 1, 1)
+                return ps, vs, mx, po, av / max(timesteps - 1, 1)
             self._jit_cache[key] = jax.jit(roll)
         return self._jit_cache[key]
 
@@ -212,10 +215,11 @@ class Simulator(BasePipeline):
             t0 = time.time()
             ps_parts, vs_parts = [], []
             max_nbr = 0
+            pair_over = -(2 ** 30)
             avg_parts = []
             done = 0
             while done < n_steps:
-                ps, vs, mx, av = compiled(self.params, strip)
+                ps, vs, mx, po, av = compiled(self.params, strip)
                 jax.block_until_ready(ps)
                 take = min(exe_steps, n_steps - done)
                 # frame 0 of each chunk repeats the seed frame
@@ -224,6 +228,7 @@ class Simulator(BasePipeline):
                 vs_parts.append(np.asarray(vs[0 if done == 0 else 1:
                                               take + 1]))
                 max_nbr = max(max_nbr, int(mx))
+                pair_over = max(pair_over, int(po))
                 avg_parts.append(float(av) * take)
                 strip = dict(strip)
                 strip["pos"], strip["vel"] = ps[take], vs[take]
@@ -239,6 +244,7 @@ class Simulator(BasePipeline):
                      int(getattr(self.model, "neighbor_k", 0)))
             self._check_neighbor_overflow(int(max_nbr),
                                           f"rollout {len(results)}")
+            self._check_pair_overflow(pair_over, f"rollout {len(results)}")
             results.append((np.asarray(ps)[:, :n], np.asarray(vs)[:, :n]))
         log.info("Average runtime: {:.5f} s/step ({:.1f} steps/s)",
                  float(np.mean(timings)), 1.0 / max(np.mean(timings), 1e-9))
@@ -256,6 +262,19 @@ class Simulator(BasePipeline):
             msg = (f"neighbor overflow at {where}: max true neighbor count "
                    f"{int(max_neighbors)} > neighbor_k={k}; neighbors are "
                    f"being dropped — raise model.neighbor_k")
+            if bool(self.cfg.get("strict_overflow", False)):
+                raise RuntimeError(msg)
+            log.warning(msg)
+
+    def _check_pair_overflow(self, excess, where):
+        """Cross-scale trunk pairs have their own K budgets
+        (``model.neighbor_k_gaps``); ``excess`` is the step's worst
+        ``true_count - K`` over every cached pair search."""
+        if excess > 0:
+            msg = (f"pair-search overflow at {where}: worst true neighbor "
+                   f"count exceeds its pair K budget by {int(excess)}; "
+                   f"neighbors are being dropped — raise model.neighbor_k"
+                   f"_gaps (or neighbor_k)")
             if bool(self.cfg.get("strict_overflow", False)):
                 raise RuntimeError(msg)
             log.warning(msg)

@@ -229,3 +229,125 @@ class TestMomentumConservation:
         g = jax.grad(loss)(params)
         total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestPerPairNeighborK:
+    """Cross-scale trunk pairs get their own K budgets
+    (``model.neighbor_k_gaps``): a coarse-scale query at its larger radius
+    sees ~(stride_j/stride_i)^dim finer-scale points — the reference's
+    ragged lists consume all of them (utils/convolutions.py:352-373), so a
+    single global K silently truncates exactly the convs that carry the
+    downsampling path."""
+
+    def _cfg(self):
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg.pop("neighbor_k_gaps", None)
+        return cfg
+
+    def test_overflow_surfaced_and_closed_by_gap_budgets(self):
+        # dense 2D block: each scale-2 query (r=0.08) sees ~100+ scale-0
+        # points — far beyond a global K of 24
+        cfg = self._cfg()
+        cfg["neighbor_k"] = 24
+        sample = make_sample(n=256, n_valid=256, b=8, b_valid=4, dim=2,
+                             seed=3)
+        # rest-spacing grid (0.01) like the real scene
+        g = np.stack(np.meshgrid(np.arange(16), np.arange(16),
+                                 indexing="ij"), -1).reshape(-1, 2) * 0.01
+        pos = np.zeros((256, 3), np.float32)
+        pos[:, :2] = g
+        sample = dict(sample)
+        sample["pos"] = jnp.asarray(pos)
+        model = build_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), sample, training=False)
+        _, _, aux = model.apply(params, sample, training=False)
+        assert int(aux["pair_overflow"]) > 0  # global K=24 truncates
+
+        cfg["neighbor_k_gaps"] = [128, 320]
+        model2 = build_model(cfg)
+        _, _, aux2 = model2.apply(params, sample, training=False)
+        assert int(aux2["pair_overflow"]) <= 0  # budgets close the gap
+
+    def test_gap_budgets_match_large_global_k(self):
+        """With every budget at/above the true max count, per-pair K and a
+        big global K are the same function (padding never changes values)."""
+        sample = make_sample(n=96, n_valid=80, b=24, b_valid=16, dim=2,
+                             seed=4)
+        cfg = self._cfg()
+        cfg["neighbor_k"] = 256
+        ref = build_model(cfg)
+        params = ref.init(jax.random.PRNGKey(2), sample, training=False)
+        ref_pos, ref_vel, ref_aux = ref.apply(params, sample, training=False)
+        assert int(ref_aux["pair_overflow"]) <= 0
+
+        cfg2 = self._cfg()
+        cfg2["neighbor_k"] = 256
+        cfg2["neighbor_k_gaps"] = [256, 320]
+        gap = build_model(cfg2)
+        pos, vel, aux = gap.apply(params, sample, training=False)
+        assert int(aux["pair_overflow"]) <= 0
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(ref_pos),
+                                   rtol=0, atol=2e-6)
+
+    def test_k_for_pair_resolution(self):
+        cfg = self._cfg()
+        cfg["neighbor_k"] = 32
+        cfg["neighbor_k_gaps"] = [64, 224]
+        m = build_model(cfg)
+        assert m.k_for_pair(0, 0) == 32
+        assert m.k_for_pair(1, 0) == 32   # upsampling: base K
+        assert m.k_for_pair(0, 1) == 64
+        assert m.k_for_pair(1, 2) == 64
+        assert m.k_for_pair(0, 2) == 224
+
+
+class TestTransposeSearchReuse:
+    """``transpose_search_reuse``: the (j, i) trunk pair search is derived
+    from the computed (i, j) transpose by inversion — exact while no pair
+    overflows its K (the L2 ball is symmetric)."""
+
+    def test_forward_matches_direct_search(self):
+        sample = make_sample(n=96, n_valid=80, b=24, b_valid=16, dim=2,
+                             seed=11)
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg["transpose_search_reuse"] = False
+        ref = build_model(cfg)
+        params = ref.init(jax.random.PRNGKey(5), sample, training=False)
+        ref_pos, ref_vel, ref_aux = ref.apply(params, sample, training=False)
+        assert int(ref_aux["pair_overflow"]) <= 0
+
+        cfg["transpose_search_reuse"] = True
+        opt = build_model(cfg)
+        pos, vel, aux = opt.apply(params, sample, training=False)
+        assert int(aux["pair_overflow"]) <= 0
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(ref_pos),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(vel), np.asarray(ref_vel),
+                                   rtol=0, atol=2e-3)
+
+    def test_inverted_list_equals_direct(self):
+        from dmcf_tpu.ops.neighbors import (fixed_radius_search,
+                                            invert_neighbors_list)
+        rng = np.random.RandomState(0)
+        a = jnp.asarray(rng.uniform(-1, 1, (60, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1, 1, (40, 3)).astype(np.float32))
+        am = jnp.asarray(np.arange(60) < 50)
+        bm = jnp.asarray(np.arange(40) < 35)
+        fwd = fixed_radius_search(a, b, 0.5, 64, points_mask=am,
+                                  queries_mask=bm)
+        assert int(jnp.max(fwd.count)) <= 64  # exactness precondition
+        inv = invert_neighbors_list(fwd, 60, 64)
+        direct = fixed_radius_search(b, a, 0.5, 64, points_mask=bm,
+                                     queries_mask=am)
+        # same neighbor sets per row (order may differ)
+        for r in range(60):
+            s1 = set(np.asarray(inv.idx[r])[np.asarray(inv.mask[r])])
+            s2 = set(np.asarray(direct.idx[r])[np.asarray(direct.mask[r])])
+            assert s1 == s2, r
+        np.testing.assert_array_equal(np.asarray(inv.count),
+                                      np.asarray(direct.count))
+        # displacement sign flip: points[idx] - queries of the inverse
+        d = np.asarray(b)[np.asarray(inv.idx)] - np.asarray(a)[:, None, :]
+        np.testing.assert_allclose(
+            np.where(np.asarray(inv.mask)[..., None], d, 0.0),
+            np.asarray(inv.disp), atol=1e-6)
