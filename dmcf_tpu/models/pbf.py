@@ -192,6 +192,14 @@ class PBFNet(nn.Module):
     # None (default) keeps the single ``neighbor_k`` everywhere.
     # Truncation on ANY trunk pair is surfaced via aux['pair_overflow'].
     neighbor_k_gaps: Any = None
+    # Full per-pair K matrix ``neighbor_k_pairs[src_scale][dst_scale]``
+    # (wins over neighbor_k_gaps).  In 3D the gap heuristic is not enough:
+    # coarse voxel scales are denser *relative to their radius* than the
+    # fluid itself (Liquid3d canyon, measured: same-scale pair (1,1) holds
+    # up to 174 true neighbors and (0,2) up to 1056 vs neighbor_k=64 —
+    # truncating up to 94% of the neighbor mass the reference's ragged
+    # lists consume).  Rows/cols clamp to the last entry.
+    neighbor_k_pairs: Any = None
     # Derive each (j, i) trunk pair search from its already-computed
     # (i, j) transpose (one sort over Q*K pairs) instead of a second
     # O(Q*N) distance pass — the L2 ball is symmetric, so the derived
@@ -369,8 +377,13 @@ class PBFNet(nn.Module):
 
     def k_for_pair(self, inp_scale, out_scale):
         """Neighbor budget for a trunk conv from ``inp_scale`` to
-        ``out_scale`` (see ``neighbor_k_gaps``)."""
-        gap = int(out_scale) - int(inp_scale)
+        ``out_scale`` (see ``neighbor_k_pairs`` / ``neighbor_k_gaps``)."""
+        i, j = int(inp_scale), int(out_scale)
+        if self.neighbor_k_pairs is not None:
+            m = self.neighbor_k_pairs
+            row = m[min(i, len(m) - 1)]
+            return int(row[min(j, len(row) - 1)])
+        gap = j - i
         if gap <= 0 or self.neighbor_k_gaps is None:
             return self.neighbor_k
         gaps = self.neighbor_k_gaps

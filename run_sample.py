@@ -62,6 +62,10 @@ def parse_args():
                         help="per-step in-graph boundary working-set size "
                              "(the fixed-shape analog of the reference's "
                              "AABB crop; recommended for huge scenes)")
+    parser.add_argument("--neighbor_k", type=int, default=0,
+                        help="override model.neighbor_k (under compression "
+                             "the true in-radius count can exceed the "
+                             "config budget; overflow is reported per run)")
     return parser.parse_known_args()[0]
 
 
@@ -85,6 +89,8 @@ def main():
     cfg = yaml.safe_load(open(args.cfg_file))
     if args.boundary_crop_max:
         cfg["model"]["boundary_crop_max"] = args.boundary_crop_max
+    if args.neighbor_k:
+        cfg["model"]["neighbor_k"] = args.neighbor_k
     model = build_model(cfg["model"])
 
     data = read_msgpack_zst(args.data_path)
@@ -166,10 +172,12 @@ def main():
         """Scan ``len(ts)`` steps from ``carry``; ts carries the global
         step indices so inflow timing survives chunked execution."""
         def body(carry, t):
-            pos, vel, mask, n_active = carry
+            pos, vel, mask, n_active, mx, po = carry
             s = dict(s0)
             s["pos"], s["vel"], s["fluid_mask"] = pos, vel, mask
-            p, v, _ = model.apply(params, s, training=False)
+            p, v, aux = model.apply(params, s, training=False)
+            mx = jnp.maximum(mx, aux["neighbor_overflow"])
+            po = jnp.maximum(po, aux.get("pair_overflow", po))
 
             def do_inflow(args_):
                 p, v, mask, n_active = args_
@@ -185,7 +193,7 @@ def main():
                 (n_active + n0 <= capacity)
             p, v, mask, n_active = jax.lax.cond(
                 inflow_now, do_inflow, lambda a: a, (p, v, mask, n_active))
-            return (p, v, mask, n_active), (p, mask)
+            return (p, v, mask, n_active, mx, po), (p, mask)
 
         carry, (ps, ms) = jax.lax.scan(body, carry, ts)
         return carry, ps, ms
@@ -196,7 +204,8 @@ def main():
     n_steps = max(timesteps - 1, 1)
     exe_steps = min(args.chunk, n_steps) if args.chunk else n_steps
     carry = (sample["pos"], sample["vel"], sample["fluid_mask"],
-             jnp.asarray(n0, jnp.int32))
+             jnp.asarray(n0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(-(2 ** 30), jnp.int32))
     t0 = time.time()
     ps_parts, ms_parts = [], []
     done = 0
@@ -213,6 +222,14 @@ def main():
     total = time.time() - t0
     print("Average runtime: %.05f s/step (incl. compile; %d steps)" %
           (total / n_steps, n_steps))
+    max_nbr, pair_over = int(carry[4]), int(carry[5])
+    k = int(cfg["model"].get("neighbor_k", 64))
+    print(f"max true neighbor count over rollout: {max_nbr} (K={k})"
+          + (" — OVERFLOW, neighbors dropped; raise --neighbor_k"
+             if max_nbr > k else ""))
+    if pair_over > 0:
+        print(f"pair-search overflow: worst true count exceeded its pair "
+              f"K budget by {pair_over}")
 
     # assemble output: frame 0 + rollout frames, padded with sentinel 1000
     # (reference run_sample.py:215-218)
