@@ -58,6 +58,13 @@ class ContinuousConv(nn.Module):
     # (required for the ASCC momentum guarantee); 'default' = single-pass
     # bf16 MXU (fast path for trunk convs, ~1e-3 rel. error).
     precision: Optional[str] = "highest"
+    # when > 0 and the (uncached-taps) neighbor list is wider than this,
+    # evaluate the conv in K-chunks via lax.scan and sum — the conv is
+    # linear in the neighbor axis, so the result is identical while the
+    # [Q, K, S] tap / [Q, K, Cin] gather transients shrink to chunk width
+    # (huge-K pairs: the Liquid3d canyon's (0,2) pair carries K=1376,
+    # a ~1.5 GB transient unchunked at full-scene Q)
+    k_chunk: int = 0
 
     @nn.compact
     def __call__(self,
@@ -91,13 +98,7 @@ class ContinuousConv(nn.Module):
                                 (*ks, cin, self.filters))
 
         symmetric_conv = self.symmetric and not self.circular
-        out = continuous_conv(
-            kernel,
-            out_positions,
-            inp_positions,
-            inp_features,
-            neighbors,
-            extents,
+        conv_kw = dict(
             window_fn=self.window_function,
             coordinate_mapping=self.coordinate_mapping,
             interpolation=self.interpolation,
@@ -108,8 +109,43 @@ class ContinuousConv(nn.Module):
             query_features=(query_features if query_features is not None
                             else (inp_features if symmetric_conv else None)),
             precision=self.precision,
-            taps=taps,
         )
+        k = neighbors.idx.shape[1]
+        if taps is None and 0 < self.k_chunk < k and not self.normalize:
+            import jax
+
+            kc = self.k_chunk
+            nc = -(-k // kc)
+            pad = nc * kc - k
+
+            def split(x, fill=0):
+                if x is None:
+                    return None
+                if pad:
+                    widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
+                    x = jnp.pad(x, widths, constant_values=fill)
+                x = x.reshape(x.shape[0], nc, kc, *x.shape[2:])
+                return jnp.moveaxis(x, 1, 0)  # [nc, Q, kc, ...]
+
+            chunks = NeighborList(
+                idx=split(neighbors.idx), mask=split(neighbors.mask),
+                dist=split(neighbors.dist), count=None,
+                disp=split(neighbors.disp))
+
+            def body(acc, ch):
+                nl = NeighborList(idx=ch.idx, mask=ch.mask, dist=ch.dist,
+                                  count=None, disp=ch.disp)
+                y = continuous_conv(kernel, out_positions, inp_positions,
+                                    inp_features, nl, extents, **conv_kw)
+                return acc + y, None
+
+            init = jnp.zeros((neighbors.idx.shape[0], self.filters),
+                             inp_features.dtype)
+            out, _ = jax.lax.scan(body, init, chunks)
+        else:
+            out = continuous_conv(
+                kernel, out_positions, inp_positions, inp_features,
+                neighbors, extents, taps=taps, **conv_kw)
 
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,

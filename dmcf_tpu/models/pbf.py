@@ -206,6 +206,9 @@ class PBFNet(nn.Module):
     # list is exact whenever the forward list didn't overflow.  Saves
     # ~30% of a step's search volume on 3-scale trunks.
     transpose_search_reuse: bool = False
+    # K-chunked conv evaluation for huge-K pairs (see
+    # layers.ContinuousConv.k_chunk); 0 = off
+    conv_k_chunk: int = 0
     # fixed-shape analog of the reference's per-step boundary AABB crop
     # (models/pbf_model.py:330-336): when > 0 and smaller than the padded
     # boundary array, the step compacts the boundary particles inside the
@@ -373,6 +376,7 @@ class PBFNet(nn.Module):
             sym_axis=sym_axis,
             circular=self.circular if circular is None else circular,
             precision=precision if precision is not None else self.precision,
+            k_chunk=self.conv_k_chunk,
         )
 
     def k_for_pair(self, inp_scale, out_scale):

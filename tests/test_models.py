@@ -351,3 +351,23 @@ class TestTransposeSearchReuse:
         np.testing.assert_allclose(
             np.where(np.asarray(inv.mask)[..., None], d, 0.0),
             np.asarray(inv.disp), atol=1e-6)
+
+
+class TestKChunkedConv:
+    def test_chunked_equals_unchunked(self):
+        """conv_k_chunk: the conv is linear in the neighbor axis, so
+        K-chunked evaluation (bounded transients) is the same function."""
+        sample = make_sample(n=96, n_valid=80, b=24, b_valid=16, dim=3,
+                             seed=13)
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "Liquid3d.yml"))
+        cfg["neighbor_k_pairs"] = [[32, 48, 96], [32, 32, 64], [32, 32, 32]]
+        ref = build_model(cfg)
+        params = ref.init(jax.random.PRNGKey(3), sample, training=False)
+        ref_pos, ref_vel, _ = ref.apply(params, sample, training=False)
+
+        cfg["conv_k_chunk"] = 24          # chunks every pair list wider
+        cfg["tap_cache_max_elems"] = 0    # force the inline (chunkable) path
+        chk = build_model(cfg)
+        pos, vel, _ = chk.apply(params, sample, training=False)
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(ref_pos),
+                                   rtol=0, atol=2e-6)
