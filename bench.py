@@ -181,24 +181,27 @@ def main():
 
     def rollout(params, s0, length):
         def body(carry, _):
-            pos, vel = carry
+            pos, vel, mx, po = carry
             s = dict(s0)
             s["pos"], s["vel"] = pos, vel
-            p, v, _ = model.apply(params, s, training=False)
-            return (p, v), ()
-        (p, v), _ = jax.lax.scan(body, (s0["pos"], s0["vel"]), None,
-                                 length=length)
-        return p, v
+            p, v, aux = model.apply(params, s, training=False)
+            mx = jnp.maximum(mx, aux["neighbor_overflow"])
+            po = jnp.maximum(po, aux.get("pair_overflow", po))
+            return (p, v, mx, po), ()
+        (p, v, mx, po), _ = jax.lax.scan(
+            body, (s0["pos"], s0["vel"], jnp.asarray(0, jnp.int32),
+                   jnp.asarray(-(2 ** 30), jnp.int32)), None, length=length)
+        return p, v, mx, po
 
     roll = jax.jit(rollout, static_argnames=("length",))
     # warm-up / compile at the SAME length as the timed run (a different
     # length is a different scan program => the timed call would include
     # compilation), then hard-sync through a host transfer
-    p, v = roll(params, sample, HORIZON)
+    p, v, mx, po = roll(params, sample, HORIZON)
     np.asarray(p[:1])
 
     t0 = time.time()
-    p, v = roll(params, sample, HORIZON)
+    p, v, mx, po = roll(params, sample, HORIZON)
     np.asarray(p[:1])
     dt = time.time() - t0
     steps_per_sec = HORIZON / dt
@@ -249,6 +252,12 @@ def main():
             "baseline_assumption_steps_per_sec": REFERENCE_STEPS_PER_SEC,
             "flops_per_step": flops_per_step,
             "mfu_pct": mfu_pct,
+            # neighbor-exactness over the whole rollout: max true count at
+            # the finest radius (must be <= neighbor_k) and worst per-pair
+            # K-budget excess (<= 0 means no conv dropped any neighbor)
+            "max_neighbors": int(mx),
+            "neighbor_k": int(cfg.get("neighbor_k", 64)),
+            "pair_overflow": int(po),
             "canyon": canyon,
         },
     }
