@@ -139,6 +139,11 @@ class TestSpatialWorkingSet:
             os.path.dirname(__file__), "..", "configs",
             "Liquid3d.yml")))["model"]
         cfg["neighbor_k"] = 32
+        # measure the GSPMD working-set scaling of the plain fixed-K step
+        # (the per-pair budgets / K-chunking added for canyon exactness
+        # change the HLO structure, not the sharding story under test)
+        cfg["neighbor_k_pairs"] = None
+        cfg["conv_k_chunk"] = 0
         cfg["search_method"] = "grid"
         model = build_model(cfg)
         rng = np.random.RandomState(0)
