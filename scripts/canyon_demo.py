@@ -109,10 +109,19 @@ def main():
                "--boundary_crop_max", str(args.crop),
                "--output_dir", args.out]
         print("running:", " ".join(cmd))
-        r = subprocess.run(cmd, cwd=root)
+        r = subprocess.run(cmd, cwd=root, capture_output=True, text=True)
+        sys.stdout.write(r.stdout[-4000:])
+        sys.stderr.write(r.stderr[-2000:])
         assert r.returncode == 0, f"run_sample failed rc={r.returncode}"
 
     report = analyze(h5)
+    if not args.skip_run:
+        # neighbor-exactness evidence from the run itself
+        report["overflow_report"] = [
+            ln for ln in r.stdout.splitlines()
+            if "neighbor count" in ln or "overflow" in ln]
+        report["args"] = {"crop": args.crop, "every": args.every,
+                          "steps": args.steps}
     print(json.dumps(report, indent=1))
 
     strip = os.path.join(root, "docs", "canyon_demo_r3_strip.png")
