@@ -142,7 +142,29 @@ def bench_canyon(canyon_path, steps=5, crop=32768):
     }
 
 
+def _arm_backend_watchdog(seconds=900):
+    """If backend init wedges (tunneled-TPU outage: jax.devices() has been
+    observed to hang ~25 min then raise UNAVAILABLE), emit one diagnostic
+    JSON line instead of hanging the driver indefinitely."""
+    import signal
+
+    def bail(signum, frame):
+        print(json.dumps({
+            "metric": "WaterRamps_SymNet_rollout_steps_per_sec",
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "detail": {"error": "TPU backend unavailable (init watchdog "
+                                f"fired after {seconds}s)"}}))
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, bail)
+    signal.alarm(seconds)
+
+
 def main():
+    _arm_backend_watchdog()
+    import signal
+
     import jax
     import jax.numpy as jnp
     import yaml
@@ -151,6 +173,10 @@ def main():
     from dmcf_tpu.models import build_model
     from dmcf_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+    # first device contact is what wedges during outages; once it
+    # succeeds, the long compiles that follow are legitimate — disarm
+    np.asarray(jnp.zeros((8,)) + 1.0)
+    signal.alarm(0)
 
     cfg = yaml.safe_load(open(
         os.path.join(os.path.dirname(__file__) or ".",
