@@ -71,7 +71,7 @@ def _pairwise_dist(queries, points, metric):
     raise NotImplementedError(f"unknown metric: {metric}")
 
 
-def select_k_valid(valid, dist, k):
+def select_k_valid(valid, dist, k, method=None):
     """Compact the first K valid entries of each row into K slots.
 
     TPU-fast alternative to distance-top_k for neighbor selection: the conv
@@ -81,6 +81,12 @@ def select_k_valid(valid, dist, k):
     this costs ~the cumsum).  On per-query overflow (count > K) an
     arbitrary K-subset survives (overflow is tracked and is an error
     condition regardless).
+
+    For WIDE budgets (K past ~128 — the per-pair exactness budgets of 3D
+    coarse pairs reach K~1400) the compare-all search costs K*N per row;
+    there the 'sort' method compacts via one ascending sort of
+    ``where(valid, col, BIG)`` (~log^2 N * N per row), ~K/log^2(N) times
+    cheaper.  Chosen automatically; override via ``method``.
 
     ``dist`` may be None to skip the per-element distance gather — profiling
     shows ``take_along_axis`` element-gathers from the wide [Q, N] distance
@@ -92,16 +98,27 @@ def select_k_valid(valid, dist, k):
     Returns (idx [Q,K] int32 column indices, mask [Q,K], dist_k [Q,K]|None,
     count [Q]).
     """
+    n = valid.shape[1]
     count = jnp.sum(valid, axis=1, dtype=jnp.int32)
-    csum = jnp.cumsum(valid.astype(jnp.int32), axis=1)
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    # on TPU 'compare_all' lowers to dense VPU compares + reductions and
-    # beats the sequential 'scan' binary search ~10x; on CPU it is the
-    # other way around (measured 2.5 s vs 0.25 s at [16k, 864] x k=64)
-    method = ("compare_all" if jax.default_backend() == "tpu" else "scan")
-    idx = jax.vmap(lambda row: jnp.searchsorted(row, targets,
-                                                method=method))(csum)
     mask = targets[None, :] <= count[:, None]
+    if method is None:
+        method = "sort" if k > 128 else "searchsorted"
+    if method == "sort":
+        cols = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                                valid.shape)
+        keys = jnp.where(valid, cols, jnp.asarray(n, jnp.int32))
+        idx = jnp.sort(keys, axis=1)[:, :k]
+        if k > n:
+            idx = jnp.pad(idx, ((0, 0), (0, k - n)))
+    else:
+        csum = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+        # on TPU 'compare_all' lowers to dense VPU compares + reductions
+        # and beats the sequential 'scan' binary search ~10x; on CPU it is
+        # the other way around (measured 2.5 s vs 0.25 s at [16k,864]xk=64)
+        ss = ("compare_all" if jax.default_backend() == "tpu" else "scan")
+        idx = jax.vmap(lambda row: jnp.searchsorted(row, targets,
+                                                    method=ss))(csum)
     idx = jnp.where(mask, idx, 0).astype(jnp.int32)
     if dist is None:
         return idx, mask, None, count

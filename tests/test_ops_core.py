@@ -369,3 +369,18 @@ class TestGrads:
         assert np.all(np.isfinite(np.asarray(gk)))
         assert np.all(np.isfinite(np.asarray(gf)))
         assert float(jnp.sum(jnp.abs(gk))) > 0
+
+
+def test_select_k_valid_sort_matches_searchsorted():
+    """Wide-K budgets use a sort-based compaction; both methods must pick
+    the identical (first-K ascending) column sets."""
+    from dmcf_tpu.ops.neighbors import select_k_valid
+    rng = np.random.RandomState(7)
+    valid = jnp.asarray(rng.rand(37, 211) < 0.3)
+    dist = jnp.asarray(rng.rand(37, 211).astype(np.float32))
+    for k in (8, 64, 200, 256):
+        a = select_k_valid(valid, dist, k, method="searchsorted")
+        b = select_k_valid(valid, dist, k, method="sort")
+        for x, y in zip(a, b):
+            if x is not None:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
