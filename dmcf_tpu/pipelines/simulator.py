@@ -551,10 +551,11 @@ class Simulator(BasePipeline):
         """Concatenate the per-step telemetry into one device f32 vector
         so the training loop pays a single deferred transfer per log
         interval instead of four eager ones."""
-        return jax.jit(lambda lvec, pre_eff, mx, av: jnp.concatenate([
+        return jax.jit(lambda lvec, pre_eff, mx, po, av: jnp.concatenate([
             lvec.astype(jnp.float32),
             jnp.stack([jnp.mean(pre_eff.astype(jnp.float32)),
-                       mx.astype(jnp.float32), av.astype(jnp.float32)])]))
+                       mx.astype(jnp.float32), po.astype(jnp.float32),
+                       av.astype(jnp.float32)])]))
 
     def _flush_train_logs(self, queue):
         """Materialize and emit a batch of queued telemetry entries.
@@ -577,11 +578,12 @@ class Simulator(BasePipeline):
         losses["loss"] = float(vec[:len(self.loss_fns)].sum())
         losses["timesteps"] = timesteps
         losses["warmup"] = warmup_host
-        losses["warmup_diff"] = warmup_host - float(vec[-3])
-        losses["max_neighbors"] = float(vec[-2])
+        losses["warmup_diff"] = warmup_host - float(vec[-4])
+        losses["max_neighbors"] = float(vec[-3])
         losses["avg_neighbors"] = float(vec[-1])
         self._check_neighbor_overflow(
             losses["max_neighbors"], f"train step {step}")
+        self._check_pair_overflow(float(vec[-2]), f"train step {step}")
         log.info("step {} - {}", step, " ".join(
             "%s: %.5f" % (k, v) for k, v in losses.items()))
         self.save_logs(self.writer, step, [losses], "train")
@@ -774,6 +776,7 @@ class Simulator(BasePipeline):
                     # keeps the dispatch queue deep and the sync ~free.
                     packed = self._pack_train_stats(
                         lvec, pre_eff, nbr_stats["max_neighbors"],
+                        nbr_stats["pair_overflow"],
                         nbr_stats["avg_neighbors"])
                     log_queue.append((step, float(np.mean(batch["pre"])),
                                       float(np.sum(time_w)), packed))
@@ -887,6 +890,8 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
         mean = {k2: sum(d[k2] for d in losses) / len(losses)
                 for k2 in losses[0]}
         stats = (aux["neighbor_overflow"].astype(jnp.float32),
+                 aux.get("pair_overflow",
+                         jnp.asarray(-(2 ** 30))).astype(jnp.float32),
                  aux["avg_neighbors"])
         return pos, vel, mean, stats
 
@@ -1003,9 +1008,9 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
                     *names))
         (pos, vel), (lvecs, stats) = jax.lax.scan(
             ckpt_step, (pos0, vel0), jnp.arange(window))
-        max_nbr, avg_nbr = stats
+        max_nbr, pair_over, avg_nbr = stats
         return (jnp.sum(lvecs, axis=0),
-                (jnp.max(max_nbr), jnp.mean(avg_nbr)))
+                (jnp.max(max_nbr), jnp.max(pair_over), jnp.mean(avg_nbr)))
 
     def train_step(params, opt_state, batch, time_w):
         # warm-up self-rollout outside the differentiated region
@@ -1017,7 +1022,7 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
         vel0 = jax.lax.stop_gradient(vel0)
 
         def loss_fn(params):
-            lvecs, (max_nbr, avg_nbr) = jax.vmap(
+            lvecs, (max_nbr, pair_over, avg_nbr) = jax.vmap(
                 lambda item, p0, v0, pe: per_item(params, item, p0, v0,
                                                   pe, time_w))(
                 batch, pos0, vel0, pre_eff)
@@ -1028,6 +1033,7 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
                 total = total + w_decay * sum(
                     jnp.sum(w**2) for w in jax.tree.leaves(params))
             stats = {"max_neighbors": jnp.max(max_nbr),
+                     "pair_overflow": jnp.max(pair_over),
                      "avg_neighbors": jnp.mean(avg_nbr)}
             return total, (lvec, stats)
 
