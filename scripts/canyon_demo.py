@@ -91,6 +91,7 @@ def main():
     ap.add_argument("--crop", type=int, default=65536)
     ap.add_argument("--every", type=int, default=10)
     ap.add_argument("--chunk", type=int, default=20)
+    ap.add_argument("--device", default="tpu")
     ap.add_argument("--skip_run", action="store_true",
                     help="only analyze/render an existing output dir")
     args = ap.parse_args()
@@ -107,6 +108,7 @@ def main():
                "--timesteps", str(args.steps),
                "--chunk", str(args.chunk),
                "--boundary_crop_max", str(args.crop),
+               "--device", args.device,
                "--output_dir", args.out]
         print("running:", " ".join(cmd))
         r = subprocess.run(cmd, cwd=root, capture_output=True, text=True)
@@ -124,12 +126,13 @@ def main():
                           "steps": args.steps}
     print(json.dumps(report, indent=1))
 
-    strip = os.path.join(root, "docs", "canyon_demo_r3_strip.png")
+    tag = os.path.basename(os.path.normpath(args.out)) or "canyon_demo"
+    strip = os.path.join(root, "docs", f"{tag}_strip.png")
     r = subprocess.run([sys.executable, "-m", "dmcf_tpu.viz.draw2d", h5,
                         strip, "--num_frames", "6",
                         "--pointsets", "pred,Ours"], cwd=root)
     print("strip:", strip, "rc=", r.returncode)
-    with open(os.path.join(root, "docs", "canyon_demo_r3.json"), "w") as f:
+    with open(os.path.join(root, "docs", f"{tag}.json"), "w") as f:
         json.dump(report, f, indent=1)
 
 
