@@ -172,12 +172,13 @@ def main():
         """Scan ``len(ts)`` steps from ``carry``; ts carries the global
         step indices so inflow timing survives chunked execution."""
         def body(carry, t):
-            pos, vel, mask, n_active, mx, po = carry
+            pos, vel, mask, n_active, mx, po, cc = carry
             s = dict(s0)
             s["pos"], s["vel"], s["fluid_mask"] = pos, vel, mask
             p, v, aux = model.apply(params, s, training=False)
             mx = jnp.maximum(mx, aux["neighbor_overflow"])
             po = jnp.maximum(po, aux.get("pair_overflow", po))
+            cc = jnp.maximum(cc, aux.get("boundary_crop_count", cc))
 
             def do_inflow(args_):
                 p, v, mask, n_active = args_
@@ -193,7 +194,7 @@ def main():
                 (n_active + n0 <= capacity)
             p, v, mask, n_active = jax.lax.cond(
                 inflow_now, do_inflow, lambda a: a, (p, v, mask, n_active))
-            return (p, v, mask, n_active, mx, po), (p, mask)
+            return (p, v, mask, n_active, mx, po, cc), (p, mask)
 
         carry, (ps, ms) = jax.lax.scan(body, carry, ts)
         return carry, ps, ms
@@ -205,7 +206,8 @@ def main():
     exe_steps = min(args.chunk, n_steps) if args.chunk else n_steps
     carry = (sample["pos"], sample["vel"], sample["fluid_mask"],
              jnp.asarray(n0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(-(2 ** 30), jnp.int32))
+             jnp.asarray(-(2 ** 30), jnp.int32),
+             jnp.asarray(0, jnp.int32))
     t0 = time.time()
     ps_parts, ms_parts = [], []
     done = 0
@@ -222,7 +224,8 @@ def main():
     total = time.time() - t0
     print("Average runtime: %.05f s/step (incl. compile; %d steps)" %
           (total / n_steps, n_steps))
-    max_nbr, pair_over = int(carry[4]), int(carry[5])
+    max_nbr, pair_over, crop_cnt = (int(carry[4]), int(carry[5]),
+                                    int(carry[6]))
     k = int(cfg["model"].get("neighbor_k", 64))
     print(f"max true neighbor count over rollout: {max_nbr} (K={k})"
           + (" — OVERFLOW, neighbors dropped; raise --neighbor_k"
@@ -230,6 +233,12 @@ def main():
     if pair_over > 0:
         print(f"pair-search overflow: worst true count exceeded its pair "
               f"K budget by {pair_over}")
+    crop_max = int(cfg["model"].get("boundary_crop_max", 0) or 0)
+    if crop_max:
+        print(f"max in-contact boundary over rollout: {crop_cnt} "
+              f"(crop capacity {crop_max})"
+              + (" — CROP OVERFLOW, boundary support dropped; raise "
+                 "--boundary_crop_max" if crop_cnt > crop_max else ""))
 
     # assemble output: frame 0 + rollout frames, padded with sentinel 1000
     # (reference run_sample.py:215-218)

@@ -121,7 +121,7 @@ def main():
         # neighbor-exactness evidence from the run itself
         report["overflow_report"] = [
             ln for ln in r.stdout.splitlines()
-            if "neighbor count" in ln or "overflow" in ln]
+            if "over rollout" in ln or "overflow" in ln]
         report["args"] = {"crop": args.crop, "every": args.every,
                           "steps": args.steps}
     print(json.dumps(report, indent=1))
