@@ -154,6 +154,58 @@ def read_tfrecord(path):
             yield payload
 
 
+# ---------------------------------------------------------------------------
+# wire-format encoding — tooling inverse of the parser above.  The reference
+# ships only a reader (its data comes from the GNS download); the writer lets
+# offline environments synthesize GNS-format datasets at real scale
+# (scripts/gns_headroom.py) and strengthens round-trip testing.
+# ---------------------------------------------------------------------------
+
+
+def _enc_varint(x):
+    out = b""
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        out += bytes([b | (0x80 if x else 0)])
+        if not x:
+            return out
+
+
+def _enc_ld(num, data):
+    return _enc_varint((num << 3) | 2) + _enc_varint(len(data)) + data
+
+
+def encode_sequence_example(positions, ptype, step_context=None):
+    """[T, N, dim] float32 positions + [N] int64 types -> serialized
+    tf.SequenceExample bytes (the format parse_sequence_example reads)."""
+    packed = b"".join(_enc_varint(int(v)) for v in ptype)
+    feature = _enc_ld(3, _enc_ld(1, packed))  # Feature.int64_list
+    context = _enc_ld(1, _enc_ld(1, b"particle_type") + _enc_ld(2, feature))
+
+    def bytes_feature(arr):
+        inner = _enc_ld(1, np.ascontiguousarray(arr, "<f4").tobytes())
+        return _enc_ld(1, inner)  # Feature.bytes_list
+
+    feats = b"".join(_enc_ld(1, bytes_feature(p)) for p in positions)
+    flists = _enc_ld(1, _enc_ld(1, b"position") + _enc_ld(2, feats))
+    if step_context is not None:
+        cf = b"".join(_enc_ld(1, bytes_feature(c)) for c in step_context)
+        flists += _enc_ld(1, _enc_ld(1, b"step_context") + _enc_ld(2, cf))
+    return _enc_ld(1, context) + _enc_ld(2, flists)
+
+
+def write_tfrecord(path, records):
+    """tfrecord framing: <u64 length><4B len-crc><data><4B data-crc>;
+    the reader skips both CRCs."""
+    with open(path, "wb") as f:
+        for rec in records:
+            f.write(struct.pack("<Q", len(rec)))
+            f.write(b"\x00" * 4)
+            f.write(rec)
+            f.write(b"\x00" * 4)
+
+
 def parse_gns_trajectory(record, metadata):
     """One record -> dict(pos [T, N, dim], type [N], ctx?)."""
     context, lists = parse_sequence_example(record)

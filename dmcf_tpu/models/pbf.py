@@ -892,14 +892,22 @@ class PBFNet(nn.Module):
         # max(count - K) > 0 means a conv silently dropped neighbors on
         # some pair (the gap the per-pair budgets exist to close)
         pair_over = jnp.asarray(0, jnp.int32)
-        for nl in ctx["cache"]._cache.values():
-            pair_over = jnp.maximum(
-                pair_over, jnp.max(nl.count) - nl.idx.shape[1])
+        pair_over_detail = {}
+        for ckey, nl in ctx["cache"]._cache.items():
+            excess = jnp.max(nl.count) - nl.idx.shape[1]
+            pair_over = jnp.maximum(pair_over, excess)
+            # per-pair excess keyed "src>dst@radius" so callers can size
+            # neighbor_k_pairs exactly instead of guessing from the max
+            dkey = f"{ckey[0]}>{ckey[1]}@{ckey[2]:g}"
+            pair_over_detail[dkey] = jnp.maximum(
+                pair_over_detail.get(dkey, jnp.asarray(-(1 << 20), jnp.int32)),
+                excess)
         aux = {
             "num_fluid_neighbors": num_fluid_neighbors,
             "pos_correction": pos_correction,
             "neighbor_overflow": jnp.max(ctx["nl_all0"].count),
             "pair_overflow": pair_over,
+            "pair_overflow_detail": pair_over_detail,
             "avg_neighbors": jnp.sum(jnp.where(
                 ctx["all_mask"], ctx["nl_all0"].count, 0)) / n_valid,
             "scale_counts": jnp.stack([jnp.asarray(c, jnp.int32)

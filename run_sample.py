@@ -194,10 +194,14 @@ def main():
                 (n_active + n0 <= capacity)
             p, v, mask, n_active = jax.lax.cond(
                 inflow_now, do_inflow, lambda a: a, (p, v, mask, n_active))
-            return (p, v, mask, n_active, mx, po, cc), (p, mask)
+            pod = aux.get("pair_overflow_detail", {})
+            return (p, v, mask, n_active, mx, po, cc), (p, mask, pod)
 
-        carry, (ps, ms) = jax.lax.scan(body, carry, ts)
-        return carry, ps, ms
+        carry, (ps, ms, pod) = jax.lax.scan(body, carry, ts)
+        # reduce the per-pair excess over the chunk here so only a dict of
+        # scalars crosses the device boundary
+        pod = {k: jnp.max(v) for k, v in pod.items()}
+        return carry, ps, ms, pod
 
     roll = jax.jit(rollout)
     print(f"scene: {n0} fluid (capacity {capacity}), "
@@ -210,16 +214,19 @@ def main():
              jnp.asarray(0, jnp.int32))
     t0 = time.time()
     ps_parts, ms_parts = [], []
+    pod_max = {}
     done = 0
     while done < n_steps:
         # a short final chunk re-runs the full chunk length and discards
         # the excess (a second program shape would mean a second compile)
         ts = jnp.arange(done, done + exe_steps)
-        carry, ps_c, ms_c = roll(params, sample, carry, ts)
+        carry, ps_c, ms_c, pod_c = roll(params, sample, carry, ts)
         jax.block_until_ready(ps_c)
         take = min(exe_steps, n_steps - done)
         ps_parts.append(np.asarray(ps_c[:take]))
         ms_parts.append(np.asarray(ms_c[:take]))
+        for key, v in pod_c.items():
+            pod_max[key] = max(pod_max.get(key, -(1 << 30)), int(v))
         done += take
     total = time.time() - t0
     print("Average runtime: %.05f s/step (incl. compile; %d steps)" %
@@ -233,6 +240,9 @@ def main():
     if pair_over > 0:
         print(f"pair-search overflow: worst true count exceeded its pair "
               f"K budget by {pair_over}")
+    for key in sorted(pod_max):
+        if pod_max[key] > 0:
+            print(f"  pair {key}: true count exceeded K by {pod_max[key]}")
     crop_max = int(cfg["model"].get("boundary_crop_max", 0) or 0)
     if crop_max:
         print(f"max in-contact boundary over rollout: {crop_cnt} "

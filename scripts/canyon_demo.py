@@ -92,6 +92,9 @@ def main():
     ap.add_argument("--every", type=int, default=10)
     ap.add_argument("--chunk", type=int, default=20)
     ap.add_argument("--device", default="tpu")
+    ap.add_argument("--config", default="configs/Liquid3d.yml",
+                    help="model config (e.g. a raised-neighbor-budget "
+                         "variant when the overflow report asks for one)")
     ap.add_argument("--skip_run", action="store_true",
                     help="only analyze/render an existing output dir")
     args = ap.parse_args()
@@ -100,7 +103,7 @@ def main():
     root = os.path.join(os.path.dirname(__file__), "..")
     if not args.skip_run:
         cmd = [sys.executable, "run_sample.py",
-               "-c", "configs/Liquid3d.yml",
+               "-c", args.config,
                "--tf_ckpt", "/root/reference/checkpoints/Liquid3d/ckpt",
                "--vel", "2", "0", "-1.2",
                "--inflow", str(args.steps),

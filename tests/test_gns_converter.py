@@ -82,6 +82,32 @@ class TestProtoParsing:
         np.testing.assert_array_equal(got["type"], ptype)
 
 
+class TestModuleEncoder:
+    def test_encoder_roundtrips_through_parser(self):
+        """The module's writer (used by scripts/gns_headroom.py to
+        synthesize WaterRamps-scale data) must produce bytes the module's
+        own parser decodes identically to the test-side oracle."""
+        from dmcf_tpu.data.gns_converter import encode_sequence_example
+        T, N, dim = 5, 7, 2
+        rng = np.random.RandomState(3)
+        pos = rng.rand(T, N, dim).astype(np.float32)
+        ptype = np.array([5] * 5 + [3] * 2, np.int64)
+        rec = encode_sequence_example(pos, ptype)
+        got = parse_gns_trajectory(rec, {"dim": dim,
+                                         "sequence_length": T - 1})
+        np.testing.assert_allclose(got["pos"], pos, atol=0)
+        np.testing.assert_array_equal(got["type"], ptype)
+
+    def test_encoder_step_context(self):
+        from dmcf_tpu.data.gns_converter import encode_sequence_example
+        pos = np.zeros((3, 2, 2), np.float32)
+        ctx = np.arange(6, dtype=np.float32).reshape(3, 2)
+        rec = encode_sequence_example(pos, np.array([5, 5]),
+                                      step_context=ctx)
+        got = parse_gns_trajectory(rec, {"dim": 2, "sequence_length": 2})
+        np.testing.assert_allclose(got["ctx"], ctx, atol=0)
+
+
 class TestConvert:
     def test_end_to_end(self):
         T, N, dim = 101, 8, 2
