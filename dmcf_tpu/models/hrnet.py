@@ -91,7 +91,21 @@ class HRNet(PBFNet):
                         ignore_query=False):
         """Neighbor list + shared tap tensor for a scale pair — both cached
         per step, so the trunk's ~N convs over ~9 distinct pairs pay for
-        search and interpolation geometry once per pair."""
+        search and interpolation geometry once per pair.
+
+        Pairs whose K budget reaches ``dense_pair_min_k`` skip neighbor
+        lists entirely and return a DensePair for the dense conv path
+        (exact, no K budget — see PBFNet.dense_pair_min_k)."""
+        if (0 < self.dense_pair_min_k
+                <= self.k_for_pair(inp_scale, out_scale)
+                and not ignore_query):
+            dp = ctx["cache"].get_dense(
+                f"dilated{inp_scale}", f"dilated{out_scale}", radius,
+                ctx["dilated_pos"][inp_scale],
+                ctx["dilated_mask"][inp_scale],
+                ctx["dilated_pos"][out_scale],
+                ctx["dilated_mask"][out_scale])
+            return dp, None
         nl = ctx["cache"].get(
             f"dilated{inp_scale}", f"dilated{out_scale}", radius,
             ctx["dilated_pos"][inp_scale], ctx["dilated_mask"][inp_scale],

@@ -15,7 +15,8 @@ import numpy as np
 
 from ..ops import (build_circular_kernel, build_symmetric_kernel,
                    continuous_conv)
-from ..ops.neighbors import NeighborList
+from ..ops.cconv import continuous_conv_dense
+from ..ops.neighbors import DensePair, NeighborList
 
 
 def _uniform_init(scale=0.05):
@@ -58,6 +59,11 @@ class ContinuousConv(nn.Module):
     # (required for the ASCC momentum guarantee); 'default' = single-pass
     # bf16 MXU (fast path for trunk convs, ~1e-3 rel. error).
     precision: Optional[str] = "highest"
+    # neighbor-feature gather implementation for the bf16 fast path:
+    # 'row' = native row gather, 'onehot' = one-hot MXU matmul (value-
+    # exact for bf16 features; faster where short feature rows gather
+    # poorly — see ops/cconv._onehot_gather)
+    gather_mode: str = "row"
     # when > 0 and the (uncached-taps) neighbor list is wider than this,
     # evaluate the conv in K-chunks via lax.scan and sum — the conv is
     # linear in the neighbor axis, so the result is identical while the
@@ -98,6 +104,32 @@ class ContinuousConv(nn.Module):
                                 (*ks, cin, self.filters))
 
         symmetric_conv = self.symmetric and not self.circular
+
+        if isinstance(neighbors, DensePair):
+            # dense no-neighbor-list path (exact, no K budget): window +
+            # validity fold into the per-pair weight field
+            assert not symmetric_conv and not self.normalize, \
+                "dense conv path covers plain trunk convs only"
+            dp = neighbors
+            a = dp.valid.astype(inp_features.dtype)
+            if self.window_function is not None:
+                a = a * jnp.where(dp.valid,
+                                  self.window_function(dp.qnorm), 0.0)
+            if inp_importance is not None:
+                a = a * inp_importance[None, :].astype(a.dtype)
+            out = continuous_conv_dense(
+                kernel, dp.rel, a, inp_features,
+                coordinate_mapping=self.coordinate_mapping,
+                interpolation=self.interpolation,
+                align_corners=self.align_corners,
+                precision=self.precision)
+            if self.use_bias:
+                out = out + self.param("bias", nn.initializers.zeros,
+                                       (self.filters,))
+            if self.activation is not None:
+                out = self.activation(out)
+            return out
+
         conv_kw = dict(
             window_fn=self.window_function,
             coordinate_mapping=self.coordinate_mapping,
@@ -109,6 +141,7 @@ class ContinuousConv(nn.Module):
             query_features=(query_features if query_features is not None
                             else (inp_features if symmetric_conv else None)),
             precision=self.precision,
+            gather_mode=self.gather_mode,
         )
         k = neighbors.idx.shape[1]
         if taps is None and 0 < self.k_chunk < k and not self.normalize:

@@ -25,7 +25,7 @@ Key TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -38,7 +38,8 @@ from ..ops import (align_vector, compute_pressure,
                    compute_transformed_dx, get_dilated_pos, masked_positions,
                    point_sampling)
 from ..ops.cconv import build_tap_tensor
-from ..ops.neighbors import NeighborList, batched_fixed_radius_search
+from ..ops.neighbors import (DensePair, NeighborList,
+                             batched_fixed_radius_search)
 from ..ops.windows import get_window_func
 from .layers import ContinuousConv, Dense
 
@@ -105,6 +106,24 @@ class SearchCache:
         self.transpose_reuse = transpose_reuse
         self._cache: Dict[Tuple, NeighborList] = {}
         self._taps: Dict[Tuple, jax.Array] = {}
+
+    def get_dense(self, src_name, dst_name, radius, points, pmask, queries,
+                  qmask):
+        """Dense pair field (see DensePair) per (src, dst, radius)."""
+        key = ("dense", src_name, dst_name, float(radius))
+        if key not in self._cache:
+            radius = jnp.asarray(radius, points.dtype)
+            rel = points[None, :, :] - queries[:, None, :]  # [Q, N, 3]
+            d2 = jnp.sum(rel * rel, axis=-1)
+            r2 = radius * radius
+            valid = (d2 <= r2) & pmask[None, :].astype(bool) \
+                & qmask[:, None].astype(bool)
+            self._cache[key] = DensePair(
+                rel=rel * (1.0 / radius),
+                qnorm=d2 * (1.0 / r2),
+                valid=valid,
+                count=jnp.sum(valid, axis=1, dtype=jnp.int32))
+        return self._cache[key]
 
     def get(self, src_name, dst_name, radius, points, pmask, queries, qmask,
             occ_cap=None, k=None):
@@ -209,6 +228,19 @@ class PBFNet(nn.Module):
     # K-chunked conv evaluation for huge-K pairs (see
     # layers.ContinuousConv.k_chunk); 0 = off
     conv_k_chunk: int = 0
+    # neighbor-feature gather implementation for bf16 trunk convs:
+    # 'row' (native row gather) or 'onehot' (one-hot MXU matmul —
+    # value-exact for bf16 features, faster where short rows gather
+    # poorly; see ops/cconv._onehot_gather)
+    conv_gather: str = "row"
+    # Trunk pairs whose K budget (k_for_pair) is >= this threshold are
+    # evaluated DENSELY over all source points instead of through padded-K
+    # neighbor lists (ops/cconv.continuous_conv_dense): no search/select/
+    # gather at all, exact with no K budget to overflow — the TPU answer
+    # for downsampling pairs where "sparse" occupancy is 5-50% of the
+    # source set and the padded-K machinery (selection sorts, short-row
+    # gathers) costs more than dense MXU work.  0 = off.
+    dense_pair_min_k: int = 0
     # fixed-shape analog of the reference's per-step boundary AABB crop
     # (models/pbf_model.py:330-336): when > 0 and smaller than the padded
     # boundary array, the step compacts the boundary particles inside the
@@ -377,6 +409,7 @@ class PBFNet(nn.Module):
             circular=self.circular if circular is None else circular,
             precision=precision if precision is not None else self.precision,
             k_chunk=self.conv_k_chunk,
+            gather_mode=self.conv_gather,
         )
 
     def k_for_pair(self, inp_scale, out_scale):
@@ -459,9 +492,12 @@ class PBFNet(nn.Module):
         if not pairs or not self.batch_pair_searches:
             return
         # pairs with a non-default K budget (neighbor_k_gaps) can't join the
-        # fixed-K stacked search; they fall back to the lazy per-pair path
+        # fixed-K stacked search; they fall back to the lazy per-pair path.
+        # Dense-path pairs don't use neighbor lists at all.
         pairs = [(i, j) for i, j in pairs
-                 if self.k_for_pair(i, j) == self.neighbor_k]
+                 if self.k_for_pair(i, j) == self.neighbor_k
+                 and not (0 < self.dense_pair_min_k
+                          <= self.k_for_pair(i, j))]
         if not pairs:
             return
         sizes = [int(p.shape[0]) for p in dpos]
@@ -894,6 +930,16 @@ class PBFNet(nn.Module):
         pair_over = jnp.asarray(0, jnp.int32)
         pair_over_detail = {}
         for ckey, nl in ctx["cache"]._cache.items():
+            if isinstance(nl, DensePair):
+                # dense pairs cannot overflow (budget == source set); the
+                # detail entry still reports max true count - N as the
+                # (always <= 0) margin for the sizing tool
+                excess = jnp.max(nl.count) - nl.valid.shape[1]
+                dkey = f"{ckey[1]}>{ckey[2]}@{ckey[3]:g}(dense)"
+                pair_over_detail[dkey] = jnp.maximum(
+                    pair_over_detail.get(
+                        dkey, jnp.asarray(-(1 << 20), jnp.int32)), excess)
+                continue
             excess = jnp.max(nl.count) - nl.idx.shape[1]
             pair_over = jnp.maximum(pair_over, excess)
             # per-pair excess keyed "src>dst@radius" so callers can size

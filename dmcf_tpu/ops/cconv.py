@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from .coords import (axis_interp_weights,
@@ -150,6 +151,25 @@ def build_tap_tensor(out_positions,
     return (A * a[..., None]).astype(dtype)
 
 
+def _onehot_gather(features, idx, dtype):
+    """Neighbor-feature gather as a one-hot matmul on the MXU.
+
+    ``one_hot(idx) @ features`` is value-exact (each output row sums exactly
+    one feature row multiplied by 1.0) and, at step scale, beats the native
+    row gather on TPU: short feature rows (Cin*2 bytes) read HBM at ~1/16
+    transaction efficiency, while the one-hot contraction rides the MXU and
+    never materializes the [Q*K, N] operand (XLA fuses the iota-compare
+    into the matmul tiles).  Measured via scripts/bench_ab.py on the
+    WaterRamps bench scene; see docs/ROOFLINE.md.
+    """
+    q, k = idx.shape
+    n = features.shape[0]
+    oh = jax.nn.one_hot(idx.reshape(-1), n, dtype=dtype)
+    return jnp.matmul(oh, features.astype(dtype),
+                      preferred_element_type=dtype).reshape(
+                          q, k, features.shape[-1])
+
+
 def continuous_conv(kernel,
                     out_positions,
                     inp_positions,
@@ -168,7 +188,8 @@ def continuous_conv(kernel,
                     query_features=None,
                     out_dtype=None,
                     precision="highest",
-                    taps=None):
+                    taps=None,
+                    gather_mode: str = "row"):
     """Evaluate the continuous convolution at ``out_positions``.
 
     Args:
@@ -259,9 +280,12 @@ def continuous_conv(kernel,
 
     if fast_bf16:
         A = A.astype(jnp.bfloat16)
-        # convert the [N, C] features once, THEN gather: bf16 rows halve
-        # the gather's HBM traffic
-        f = inp_features.astype(jnp.bfloat16)[idx]  # [Q, K, Cin]
+        if gather_mode == "onehot":
+            f = _onehot_gather(inp_features, idx, jnp.bfloat16)
+        else:
+            # convert the [N, C] features once, THEN gather: bf16 rows
+            # halve the gather's HBM traffic
+            f = inp_features.astype(jnp.bfloat16)[idx]  # [Q, K, Cin]
         mm_precision = None
         mm_dtype = jnp.bfloat16
     else:
@@ -295,6 +319,82 @@ def continuous_conv(kernel,
             denom = jnp.sum(mask, axis=1).astype(dtype)
         out = jnp.where(denom[:, None] > 1e-9, out / denom[:, None], 0.0)
 
+    return out
+
+
+def continuous_conv_dense(kernel,
+                          rel,
+                          a,
+                          inp_features,
+                          *,
+                          filter_scale=1.0,
+                          coordinate_mapping: str =
+                          "ball_to_cube_volume_preserving",
+                          interpolation: str = "linear",
+                          align_corners: bool = True,
+                          offset=None,
+                          out_dtype=None,
+                          precision="default"):
+    """Continuous conv evaluated densely over ALL source points.
+
+    TPU-native alternative to the padded-K neighbor-list path for pairs
+    whose in-radius neighbor count is a sizable fraction of the source set
+    (the multi-scale trunk's downsampling pairs: a coarse query at radius
+    r_j covers up to ~(stride_j/stride_i)^dim fine points — measured up to
+    197 of 2688 on WaterRamps, 1100+ on Liquid3d).  Instead of
+    search -> select-K -> gather (sorts and short-row gathers that run on
+    the scalar/vector units), we keep the full [Q, N] pair field dense:
+
+        T[q, s, c] = sum_n (a[q, n] * w[q, n, s]) f[n, c]
+        y[q]       = vec(T[q]) @ W
+
+    Everything is elementwise + two matmuls, so XLA fuses the tap
+    construction into the first contraction's operand read and the whole
+    conv rides the MXU.  Exactness: out-of-radius pairs carry a == 0, so
+    the result equals the ragged-exact semantics of the reference's CSR
+    lists (utils/convolutions.py:352-373) with NO K budget to overflow.
+
+    Args:
+      kernel: [kz, ky, kx, Cin, Cout].
+      rel: [Q, N, 3] displacement ``src - query`` ALREADY scaled by
+        1/radius (unit-ball coordinates).
+      a: [Q, N] combined validity * window * importance weights (zero for
+        out-of-radius or masked pairs).
+      inp_features: [N, Cin].
+      filter_scale: kept for interface symmetry (rel is pre-scaled).
+    """
+    ksz = kernel.shape
+    filter_size = (ksz[0], ksz[1], ksz[2])
+    cin, cout = ksz[3], ksz[4]
+    s_total = filter_size[0] * filter_size[1] * filter_size[2]
+    dtype = out_dtype or inp_features.dtype
+    q, n = a.shape
+
+    fast_bf16 = precision in (None, "default") and dtype == jnp.float32
+
+    wz, wy, wx = _tap_weights(rel, filter_size, coordinate_mapping,
+                              interpolation, align_corners, offset)
+    wzy = wz[..., :, None] * wy[..., None, :]
+    A = (wzy.reshape(q, n, filter_size[0] * filter_size[1])[..., :, None]
+         * wx[..., None, :]).reshape(q, n, s_total)
+    A = A * a[..., None]
+
+    if fast_bf16:
+        A = A.astype(jnp.bfloat16)
+        f = inp_features.astype(jnp.bfloat16)
+        mm_precision = None
+        mm_dtype = jnp.bfloat16
+    else:
+        f = inp_features.astype(dtype)
+        mm_precision = precision
+        mm_dtype = dtype
+
+    T = jnp.einsum("qns,nc->qsc", A, f, precision=mm_precision,
+                   preferred_element_type=jnp.float32).astype(mm_dtype)
+    out = jnp.matmul(T.reshape(q, s_total * cin),
+                     kernel.reshape(s_total * cin, cout).astype(mm_dtype),
+                     precision=mm_precision,
+                     preferred_element_type=jnp.float32).astype(dtype)
     return out
 
 

@@ -25,6 +25,26 @@ import jax.numpy as jnp
 _FILL = jnp.inf
 
 
+class DensePair(NamedTuple):
+    """Dense [Q, N] pair field for the no-neighbor-list conv path
+    (ops/cconv.continuous_conv_dense): every source point is a candidate,
+    out-of-radius pairs carry zero weight.  Exact with NO K budget —
+    used for downsampling trunk pairs whose in-radius counts are a sizable
+    fraction of the source set (where padded-K lists pay sorts + short-row
+    gathers for sparse bookkeeping that isn't actually sparse).
+
+    rel:   [Q, N, 3] displacement (src - query) scaled by 1/radius.
+    qnorm: [Q, N] squared distance / radius^2 (window argument).
+    valid: [Q, N] in-radius & both-masks validity.
+    count: [Q] true in-radius neighbor count (for aux stats).
+    """
+
+    rel: jax.Array
+    qnorm: jax.Array
+    valid: jax.Array
+    count: jax.Array
+
+
 class NeighborList(NamedTuple):
     """Padded fixed-K neighbor list.
 

@@ -301,6 +301,65 @@ class TestPerPairNeighborK:
         assert m.k_for_pair(0, 2) == 224
 
 
+class TestDensePairPath:
+    """``dense_pair_min_k``: trunk pairs at/above the threshold skip
+    neighbor lists and run the conv densely over all source points
+    (ops/cconv.continuous_conv_dense) — exact with no K budget."""
+
+    def _grid_sample(self):
+        sample = make_sample(n=256, n_valid=256, b=8, b_valid=4, dim=2,
+                             seed=3)
+        g = np.stack(np.meshgrid(np.arange(16), np.arange(16),
+                                 indexing="ij"), -1).reshape(-1, 2) * 0.01
+        pos = np.zeros((256, 3), np.float32)
+        pos[:, :2] = g
+        sample = dict(sample)
+        sample["pos"] = jnp.asarray(pos)
+        return sample
+
+    def test_forward_matches_klist_path(self):
+        sample = self._grid_sample()
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg["neighbor_k_gaps"] = [128, 320]  # exact K-list budgets
+        cfg["dense_pair_min_k"] = 0
+        ref = build_model(cfg)
+        params = ref.init(jax.random.PRNGKey(7), sample, training=False)
+        ref_pos, ref_vel, ref_aux = ref.apply(params, sample, training=False)
+        assert int(ref_aux["pair_overflow"]) <= 0  # klist path is exact here
+
+        cfg["dense_pair_min_k"] = 96
+        dense = build_model(cfg)
+        pos, vel, aux = dense.apply(params, sample, training=False)
+        # dense pairs report a (dense) detail entry and cannot overflow
+        assert any(k.endswith("(dense)")
+                   for k in aux["pair_overflow_detail"])
+        assert int(aux["pair_overflow"]) <= 0
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(ref_pos),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(vel), np.asarray(ref_vel),
+                                   rtol=0, atol=2e-3)
+
+    def test_dense_pairs_never_overflow_beyond_budget_scene(self):
+        """The overflow scene from TestKBudgets: global K=24 truncates on
+        the klist path; with the same tiny budgets plus the dense gate the
+        wide pairs go dense and the truncation disappears."""
+        sample = self._grid_sample()
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg.pop("neighbor_k_gaps", None)
+        cfg["neighbor_k"] = 24
+        cfg["dense_pair_min_k"] = 0
+        model = build_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), sample, training=False)
+        _, _, aux = model.apply(params, sample, training=False)
+        assert int(aux["pair_overflow"]) > 0
+
+        cfg["neighbor_k_gaps"] = [96, 256]
+        cfg["dense_pair_min_k"] = 96
+        model2 = build_model(cfg)
+        _, _, aux2 = model2.apply(params, sample, training=False)
+        assert int(aux2["pair_overflow"]) <= 0
+
+
 class TestTransposeSearchReuse:
     """``transpose_search_reuse``: the (j, i) trunk pair search is derived
     from the computed (i, j) transpose by inversion — exact while no pair

@@ -302,6 +302,92 @@ class TestASCC:
         assert np.all(np.abs(total) / scale < 1e-5), total
 
 
+class TestDenseConv:
+    """continuous_conv_dense: the no-neighbor-list conv path for wide pairs
+    (exact by construction — every source point is a candidate, no K budget).
+    Used by PBFNet.dense_pair_min_k for downsampling trunk pairs."""
+
+    def _setup(self, seed=1, n=64, q=40, cin=8, cout=12, radius=0.35):
+        rng = np.random.RandomState(seed)
+        pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        qs = rng.uniform(0, 1, (q, 3)).astype(np.float32)
+        feats = rng.randn(n, cin).astype(np.float32)
+        kernel = (rng.randn(4, 4, 4, cin, cout) * 0.1).astype(np.float32)
+        return pts, qs, feats, kernel, radius
+
+    def test_matches_neighbor_list_conv(self):
+        from dmcf_tpu.ops.cconv import continuous_conv_dense
+        pts, qs, feats, kernel, radius = self._setup()
+        win = get_window_func("poly6")
+        nl = fixed_radius_search(jnp.asarray(pts), jnp.asarray(qs),
+                                 radius, k=64)
+        want = continuous_conv(jnp.asarray(kernel), jnp.asarray(qs),
+                               jnp.asarray(pts), jnp.asarray(feats), nl,
+                               2 * radius, window_fn=win,
+                               precision="highest")
+        rel = (jnp.asarray(pts)[None, :, :]
+               - jnp.asarray(qs)[:, None, :]) / radius
+        d2 = jnp.sum(rel * rel, axis=-1)
+        a = jnp.where(d2 <= 1.0, win(d2), 0.0)
+        got = continuous_conv_dense(jnp.asarray(kernel), rel, a,
+                                    jnp.asarray(feats), precision="highest")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+    def test_masked_sources_contribute_zero(self):
+        from dmcf_tpu.ops.cconv import continuous_conv_dense
+        pts, qs, feats, kernel, radius = self._setup(seed=3)
+        win = get_window_func("poly6")
+        rel = (jnp.asarray(pts)[None, :, :]
+               - jnp.asarray(qs)[:, None, :]) / radius
+        d2 = jnp.sum(rel * rel, axis=-1)
+        mask = np.ones((pts.shape[0],), bool)
+        mask[::3] = False
+        valid = (d2 <= 1.0) & jnp.asarray(mask)[None, :]
+        a = jnp.where(valid, win(d2), 0.0)
+        got = continuous_conv_dense(jnp.asarray(kernel), rel, a,
+                                    jnp.asarray(feats), precision="highest")
+        # oracle: drop the masked sources entirely
+        keep = np.where(mask)[0]
+        nl = fixed_radius_search(jnp.asarray(pts[keep]), jnp.asarray(qs),
+                                 radius, k=64)
+        want = continuous_conv(jnp.asarray(kernel), jnp.asarray(qs),
+                               jnp.asarray(pts[keep]),
+                               jnp.asarray(feats[keep]), nl, 2 * radius,
+                               window_fn=win, precision="highest")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+    def test_bf16_fast_path_close(self):
+        from dmcf_tpu.ops.cconv import continuous_conv_dense
+        pts, qs, feats, kernel, radius = self._setup(seed=5)
+        win = get_window_func("poly6")
+        rel = (jnp.asarray(pts)[None, :, :]
+               - jnp.asarray(qs)[:, None, :]) / radius
+        d2 = jnp.sum(rel * rel, axis=-1)
+        a = jnp.where(d2 <= 1.0, win(d2), 0.0)
+        hi = continuous_conv_dense(jnp.asarray(kernel), rel, a,
+                                   jnp.asarray(feats), precision="highest")
+        fast = continuous_conv_dense(jnp.asarray(kernel), rel, a,
+                                     jnp.asarray(feats),
+                                     precision="default")
+        scale = np.abs(np.asarray(hi)).max()
+        assert np.abs(np.asarray(fast) - np.asarray(hi)).max() < 2e-2 * scale
+
+
+class TestOnehotGather:
+    def test_onehot_gather_matches_row_gather(self):
+        from dmcf_tpu.ops.cconv import _onehot_gather
+        rng = np.random.RandomState(7)
+        feats = rng.randn(50, 6).astype(np.float32)
+        idx = rng.randint(0, 50, size=(20, 8)).astype(np.int32)
+        got = _onehot_gather(jnp.asarray(feats), jnp.asarray(idx),
+                             jnp.bfloat16)
+        want = jnp.asarray(feats).astype(jnp.bfloat16)[jnp.asarray(idx)]
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32))
+
+
 class TestPointSampling:
     def test_weighted_mean(self):
         rng = np.random.RandomState(30)
