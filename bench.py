@@ -263,12 +263,18 @@ def main():
             canyon = bench_canyon(canyon_path)
         except Exception as e:  # pragma: no cover - defensive
             canyon = {"error": str(e)[:200]}
+    # strict exactness gate (VERDICT r3 item 1): the headline number is
+    # only meaningful if no conv dropped an in-radius neighbor anywhere in
+    # the 600-step rollout.  A violation still prints the JSON line (the
+    # driver records it) but exits non-zero so it can't regress silently.
+    exact = int(po) <= 0 and int(mx) <= int(cfg.get("neighbor_k", 64))
     result = {
         "metric": "WaterRamps_SymNet_rollout_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
         "detail": {
+            "exact": exact,
             "horizon": HORIZON,
             "n_fluid": n,
             "n_boundary": int(box.shape[0]),
@@ -290,6 +296,12 @@ def main():
     print(json.dumps(result))
     # tunneled-TPU interpreters hang ~2min in atexit; skip it
     sys.stdout.flush()
+    if not exact:
+        print(f"EXACTNESS VIOLATION: pair_overflow={int(po)} "
+              f"max_neighbors={int(mx)} > K — headline number dropped "
+              "neighbors", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(1)
     os._exit(0)
 
 

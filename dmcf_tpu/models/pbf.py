@@ -118,9 +118,20 @@ class SearchCache:
             r2 = radius * radius
             valid = (d2 <= r2) & pmask[None, :].astype(bool) \
                 & qmask[:, None].astype(bool)
+            # Sanitize invalid pairs BEFORE any downstream math: padded
+            # rows sit at far sentinel positions (and can drift to ~1e8
+            # through integration of garbage rows), and although the
+            # forward is masked by a == 0, VJPs of window/mapping terms
+            # evaluated at such magnitudes overflow fp32 — the where-VJP
+            # then multiplies 0 x inf = NaN into position/feature grads.
+            # Invalid pairs are pinned to a harmless constant geometry
+            # (just outside the ball) so every grad path through them is
+            # finite and exactly zeroed by the where.
+            rel = jnp.where(valid[..., None], rel * (1.0 / radius), 1.0)
+            qnorm = jnp.where(valid, d2 * (1.0 / r2), 2.0)
             self._cache[key] = DensePair(
-                rel=rel * (1.0 / radius),
-                qnorm=d2 * (1.0 / r2),
+                rel=rel,
+                qnorm=qnorm,
                 valid=valid,
                 count=jnp.sum(valid, axis=1, dtype=jnp.int32))
         return self._cache[key]

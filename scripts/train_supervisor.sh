@@ -9,7 +9,11 @@ STALL_MIN=${STALL_MIN:-14}
 CKPT_DIR=logs/SymNet_ColumnWide_v0/checkpoint
 
 launch() {
-  DMCF_SAVE_SEARCHES=full nohup python run_pipeline.py \
+  # save=all (neighbor lists + taps across the fwd/bwd boundary): the
+  # best-measured remat mode with the dense-pair trunk (variant D,
+  # scripts/probe_train_variants.py — 118 ms/step; save=full compiles
+  # too slowly with the dense pair fields materialized per window step)
+  DMCF_SAVE_SEARCHES=all nohup python run_pipeline.py \
     --cfg_file configs/column/symnet_wide.yml --split train \
     >> "$LOG" 2>&1 &
   echo $! > /tmp/train_wide.pid

@@ -359,6 +359,33 @@ class TestDensePairPath:
         _, _, aux2 = model2.apply(params, sample, training=False)
         assert int(aux2["pair_overflow"]) <= 0
 
+    def test_grads_finite_with_far_masked_rows(self):
+        """Regression: padded rows drift to huge coordinates through
+        integration of garbage rows (observed ~1e8 in wide-column BPTT).
+        The forward is masked, but unclamped qnorm/rel through the dense
+        pair's window/mapping VJPs overflowed fp32 and the where-VJP
+        turned 0 x inf into NaN grads (SearchCache.get_dense sanitizes
+        invalid pairs now)."""
+        sample = dict(self._grid_sample())
+        pos = np.asarray(sample["pos"]).copy()
+        pos[200:] = 1e8  # masked rows far out (fluid_mask < 256 is all
+        # valid in _grid_sample, so shrink the mask too)
+        sample["pos"] = jnp.asarray(pos)
+        sample["fluid_mask"] = jnp.asarray(np.arange(256) < 200)
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg["dense_pair_min_k"] = 96
+        model = build_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), sample, training=False)
+
+        def loss(params):
+            p, v, _ = model.apply(params, sample, training=True)
+            m = sample["fluid_mask"][:, None]
+            return jnp.sum(jnp.where(m, p, 0.0) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+
 
 class TestTransposeSearchReuse:
     """``transpose_search_reuse``: the (j, i) trunk pair search is derived
