@@ -114,19 +114,22 @@ def bench_canyon(canyon_path, steps=5, crop=32768):
 
     def rollout(params, s0, length):
         def body(carry, _):
-            p_, v_ = carry
+            p_, v_, mx, po = carry
             s = dict(s0)
             s["pos"], s["vel"] = p_, v_
-            p2, v2, _ = model.apply(params, s, training=False)
-            return (p2, v2), ()
-        carry, _ = jax.lax.scan(body, (s0["pos"], s0["vel"]), None,
-                                length=length)
+            p2, v2, aux = model.apply(params, s, training=False)
+            mx = jnp.maximum(mx, aux["neighbor_overflow"])
+            po = jnp.maximum(po, aux.get("pair_overflow", po))
+            return (p2, v2, mx, po), ()
+        carry, _ = jax.lax.scan(
+            body, (s0["pos"], s0["vel"], jnp.asarray(0, jnp.int32),
+                   jnp.asarray(-(2 ** 30), jnp.int32)), None, length=length)
         return carry
     roll = jax.jit(rollout, static_argnames=("length",))
-    p, v = roll(params, sample, steps)
+    p, v, mx, po = roll(params, sample, steps)
     np.asarray(p[:1])  # sync (compile + warm-up)
     t0 = time.time()
-    p, v = roll(params, sample, steps)
+    p, v, mx, po = roll(params, sample, steps)
     np.asarray(p[:1])
     dt = time.time() - t0
     return {
@@ -137,6 +140,11 @@ def bench_canyon(canyon_path, steps=5, crop=32768):
         "boundary_crop": crop,
         "finite": bool(jnp.all(jnp.isfinite(
             p[np.asarray(sample["fluid_mask"])]))),
+        # exactness badge: no conv dropped an in-radius neighbor anywhere
+        # in the timed rollout (same gate as the headline scene)
+        "max_neighbors": int(mx),
+        "neighbor_k": int(cfg.get("neighbor_k", 64)),
+        "pair_overflow": int(po),
         "r2_baseline_steps_per_sec": 0.1,
         "vs_r2_baseline": round(steps / dt / 0.1, 1),
     }

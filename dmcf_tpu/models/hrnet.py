@@ -134,6 +134,10 @@ class HRNet(PBFNet):
             feats = feats[:ctx["n_fluid"]]
 
         filter_extent = ctx["filter_extent"]
+        # dense-pair source chunking: on for training (vmapped batches
+        # multiply the [Q, N, S] tap transients), off for eval unless
+        # opted in (PBFNet.dense_chunk_for)
+        nck = self.dense_chunk_for(training)
 
         ans_convs = [[feats]]
         for layer in range(len(self.convs)):
@@ -157,7 +161,7 @@ class HRNet(PBFNet):
                         and scale == inp_scale)
                     ans_conv = conv(f * importance, pos[inp_scale],
                                     pos[scale], ext, neighbors=nl,
-                                    taps=taps)
+                                    taps=taps, n_chunk=nck)
                     if layer < len(self.denses):
                         if scale == inp_scale:
                             ans_conv = ans_conv + self.denses[layer][scale][
@@ -201,7 +205,8 @@ class HRNet(PBFNet):
                         ctx, scale, scale, ext / 2.0,
                         ignore_query=self.ignore_query_points)
                     ans_conv = conv(f * importance, pos[scale], pos[scale],
-                                    ext, neighbors=nl, taps=taps)
+                                    ext, neighbors=nl, taps=taps,
+                                    n_chunk=nck)
                     ans_conv = ans_conv + self.denses[layer][scale][k][0](
                         ans[-1])
                     if len(ans_convs[-1]) > scale and \

@@ -71,6 +71,11 @@ class ContinuousConv(nn.Module):
     # (huge-K pairs: the Liquid3d canyon's (0,2) pair carries K=1376,
     # a ~1.5 GB transient unchunked at full-scene Q)
     k_chunk: int = 0
+    # dense-path analog of k_chunk: when > 0, the DensePair conv scans the
+    # SOURCE dimension in n_chunk slices, bounding the [Q, chunk, S] tap
+    # field (ops/cconv.continuous_conv_dense n_chunk) — required for
+    # vmapped training batches and canyon-scale dense pairs
+    n_chunk: int = 0
 
     @nn.compact
     def __call__(self,
@@ -81,7 +86,8 @@ class ContinuousConv(nn.Module):
                  neighbors: NeighborList,
                  inp_importance=None,
                  query_features=None,
-                 taps=None):
+                 taps=None,
+                 n_chunk=None):
         cin = inp_features.shape[-1]
         ks = tuple(int(k) for k in self.kernel_size)
 
@@ -122,7 +128,8 @@ class ContinuousConv(nn.Module):
                 coordinate_mapping=self.coordinate_mapping,
                 interpolation=self.interpolation,
                 align_corners=self.align_corners,
-                precision=self.precision)
+                precision=self.precision,
+                n_chunk=self.n_chunk if n_chunk is None else n_chunk)
             if self.use_bias:
                 out = out + self.param("bias", nn.initializers.zeros,
                                        (self.filters,))

@@ -252,6 +252,15 @@ class PBFNet(nn.Module):
     # source set and the padded-K machinery (selection sorts, short-row
     # gathers) costs more than dense MXU work.  0 = off.
     dense_pair_min_k: int = 0
+    # bound the dense path's [Q, chunk, S] tap transient by scanning the
+    # source dim in slices this wide (ops/cconv.continuous_conv_dense
+    # n_chunk); 0 = off.  Required for vmapped training batches (batch 16
+    # WaterRamps OOMs one chip with unchunked [Q, N, S] fields) and for
+    # canyon-scale dense pairs.  Applies to TRAINING steps; eval/rollout
+    # steps run unchunked unless dense_n_chunk_eval is set (see
+    # dense_chunk_for).
+    dense_n_chunk: int = 0
+    dense_n_chunk_eval: Optional[int] = None
     # fixed-shape analog of the reference's per-step boundary AABB crop
     # (models/pbf_model.py:330-336): when > 0 and smaller than the padded
     # boundary array, the step compacts the boundary particles inside the
@@ -422,6 +431,16 @@ class PBFNet(nn.Module):
             k_chunk=self.conv_k_chunk,
             gather_mode=self.conv_gather,
         )
+
+    def dense_chunk_for(self, training):
+        """Effective dense-path source-chunk width: training steps chunk
+        (vmapped batches multiply the [Q, N, S] tap fields), eval steps
+        run unchunked unless ``dense_n_chunk_eval`` opts in (canyon-scale
+        scenes)."""
+        if training:
+            return self.dense_n_chunk
+        return (self.dense_n_chunk_eval
+                if self.dense_n_chunk_eval is not None else 0)
 
     def k_for_pair(self, inp_scale, out_scale):
         """Neighbor budget for a trunk conv from ``inp_scale`` to
@@ -611,6 +630,8 @@ class PBFNet(nn.Module):
             t = jnp.asarray(cfg["translate"], jnp.float32)
             s["pos"] = s["pos"] + t
             s["box"] = s["box"] + t
+            if s.get("grid_center") is not None:
+                s["grid_center"] = s["grid_center"] + t
         if "scale" in cfg:
             sc = jnp.asarray(cfg["scale"], jnp.float32)
             s["pos"] = s["pos"] * sc
@@ -618,11 +639,14 @@ class PBFNet(nn.Module):
             s["vel"] = s["vel"] * sc
             if s.get("grav") is not None:
                 s["grav"] = s["grav"] * sc
+            if s.get("grid_center") is not None:
+                s["grid_center"] = s["grid_center"] * sc
         if "grav_eqvar" in cfg:
             target = jnp.asarray(cfg["grav_eqvar"], jnp.float32)
             # same gravity for all particles of a sequence (row 0 is valid)
             R = align_vector(target, s["grav"][0])
-            for k in ("pos", "vel", "grav", "box", "box_normals"):
+            for k in ("pos", "vel", "grav", "box", "box_normals",
+                      "grid_center"):
                 if s.get(k) is not None:
                     s[k] = s[k] @ R
         return s, R
@@ -734,7 +758,11 @@ class PBFNet(nn.Module):
         dpos, dmask, dcount, didx = get_dilated_pos(
             base_pos, base_mask, list(self.strides), out_maxes,
             voxel_size=vox, centralize=self.centralize, pad=self.sample_pad,
-            hyst=self.sample_hyst)
+            hyst=self.sample_hyst,
+            # spatial decomposition: the halo runner supplies the GLOBAL
+            # centroid so every shard's voxel pyramid anchors identically
+            # (shard-local centroids would misalign grids across slabs)
+            center=data.get("grid_center"))
 
         alias0 = self.strides[0] == 1 and self.use_bnds
         # Batched prefetch only on the inference/rollout path: it wins

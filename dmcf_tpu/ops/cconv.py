@@ -334,7 +334,8 @@ def continuous_conv_dense(kernel,
                           align_corners: bool = True,
                           offset=None,
                           out_dtype=None,
-                          precision="default"):
+                          precision="default",
+                          n_chunk: int = 0):
     """Continuous conv evaluated densely over ALL source points.
 
     TPU-native alternative to the padded-K neighbor-list path for pairs
@@ -362,6 +363,16 @@ def continuous_conv_dense(kernel,
         out-of-radius or masked pairs).
       inp_features: [N, Cin].
       filter_scale: kept for interface symmetry (rel is pre-scaled).
+      n_chunk: when > 0 and N > n_chunk, the source dimension is processed
+        in ``n_chunk``-wide slices under a ``lax.scan``, bounding the
+        dominant [Q, chunk, S] tap-field transient (and its VJP residuals)
+        instead of materializing [Q, N, S] — the dense analog of the
+        K-list path's ``conv_k_chunk``.  The accumulator is fp32, so the
+        result matches the unchunked path to fp-summation-order tolerance.
+        Needed when the pair field is huge (canyon coarse pairs) or the
+        conv runs under a vmapped training batch (batch 16 x window 3
+        WaterRamps: 16 x [1344, 2688, 64] bf16 tap fields OOM one chip
+        unchunked).
     """
     ksz = kernel.shape
     filter_size = (ksz[0], ksz[1], ksz[2])
@@ -371,26 +382,57 @@ def continuous_conv_dense(kernel,
     q, n = a.shape
 
     fast_bf16 = precision in (None, "default") and dtype == jnp.float32
-
-    wz, wy, wx = _tap_weights(rel, filter_size, coordinate_mapping,
-                              interpolation, align_corners, offset)
-    wzy = wz[..., :, None] * wy[..., None, :]
-    A = (wzy.reshape(q, n, filter_size[0] * filter_size[1])[..., :, None]
-         * wx[..., None, :]).reshape(q, n, s_total)
-    A = A * a[..., None]
-
     if fast_bf16:
-        A = A.astype(jnp.bfloat16)
-        f = inp_features.astype(jnp.bfloat16)
         mm_precision = None
         mm_dtype = jnp.bfloat16
     else:
-        f = inp_features.astype(dtype)
         mm_precision = precision
         mm_dtype = dtype
 
-    T = jnp.einsum("qns,nc->qsc", A, f, precision=mm_precision,
-                   preferred_element_type=jnp.float32).astype(mm_dtype)
+    def taps_times_feats(rel_c, a_c, f_c):
+        """T_c[q, s, c] for one source slice — the [q, nc, s] tap field is
+        the dominant transient; everything fuses into the contraction."""
+        nc_ = a_c.shape[1]
+        wz, wy, wx = _tap_weights(rel_c, filter_size, coordinate_mapping,
+                                  interpolation, align_corners, offset)
+        wzy = wz[..., :, None] * wy[..., None, :]
+        A = (wzy.reshape(q, nc_, filter_size[0] * filter_size[1])
+             [..., :, None] * wx[..., None, :]).reshape(q, nc_, s_total)
+        A = A * a_c[..., None]
+        if fast_bf16:
+            A = A.astype(jnp.bfloat16)
+            f_c = f_c.astype(jnp.bfloat16)
+        else:
+            f_c = f_c.astype(dtype)
+        return jnp.einsum("qns,nc->qsc", A, f_c, precision=mm_precision,
+                          preferred_element_type=jnp.float32)
+
+    if 0 < n_chunk < n:
+        nchunks = -(-n // n_chunk)
+        npad = nchunks * n_chunk - n
+        f_in = inp_features
+        if npad:
+            # padded sources carry a == 0 and harmless in-ball geometry
+            # (mirrors SearchCache.get_dense's invalid-pair sanitization,
+            # keeping every VJP path through them finite)
+            rel = jnp.pad(rel, ((0, 0), (0, npad), (0, 0)),
+                          constant_values=1.0)
+            a = jnp.pad(a, ((0, 0), (0, npad)))
+            f_in = jnp.pad(f_in, ((0, npad), (0, 0)))
+
+        def body(T, i):
+            start = i * n_chunk
+            rel_c = jax.lax.dynamic_slice_in_dim(rel, start, n_chunk, 1)
+            a_c = jax.lax.dynamic_slice_in_dim(a, start, n_chunk, 1)
+            f_c = jax.lax.dynamic_slice_in_dim(f_in, start, n_chunk, 0)
+            return T + taps_times_feats(rel_c, a_c, f_c), None
+
+        T = jnp.zeros((q, s_total, cin), jnp.float32)
+        T, _ = jax.lax.scan(body, T, jnp.arange(nchunks, dtype=jnp.int32))
+        T = T.astype(mm_dtype)
+    else:
+        T = taps_times_feats(rel, a, inp_features).astype(mm_dtype)
+
     out = jnp.matmul(T.reshape(q, s_total * cin),
                      kernel.reshape(s_total * cin, cout).astype(mm_dtype),
                      precision=mm_precision,

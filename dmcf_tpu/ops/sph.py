@@ -73,7 +73,8 @@ def grid_pos(pos,
              out_max,
              centralize=False,
              pad=0,
-             hyst=0.1):
+             hyst=0.1,
+             center=None):
     """Occupied-voxel centers of a point set, padded to ``out_max``.
 
     Fixed-shape reimplementation of reference ``grid_pos``
@@ -91,7 +92,15 @@ def grid_pos(pos,
     n = pos.shape[0]
     dtype = pos.dtype
 
-    if centralize:
+    if center is not None:
+        # externally supplied anchor (spatial decomposition: each shard
+        # must voxelize against the GLOBAL center or shard-local grids
+        # would misalign across slab planes — parallel/halo_model.py
+        # computes it with a psum and passes it down)
+        center = jnp.asarray(center, dtype)
+        p = pos - center
+        centralize = True  # emit cells*vs + center below
+    elif centralize:
         denom = jnp.maximum(jnp.sum(mask), 1)
         center = jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0) / denom
         p = pos - center
@@ -265,7 +274,8 @@ def get_dilated_pos(pos,
                     voxel_size=None,
                     centralize=False,
                     pad=0,
-                    hyst=0.1):
+                    hyst=0.1,
+                    center=None):
     """Multi-scale position pyramid (reference utils/tools/losses.py:249-284).
 
     Returns (positions, masks, counts, idx) lists, one entry per stride.
@@ -285,7 +295,8 @@ def get_dilated_pos(pos,
         elif voxel_size is not None:
             vs = np.asarray(voxel_size, np.float32) * stride
             gp, gm, gc = grid_pos(pos, mask, vs, out_maxes[si],
-                                  centralize=centralize, pad=pad, hyst=hyst)
+                                  centralize=centralize, pad=pad, hyst=hyst,
+                                  center=center)
             positions.append(gp)
             masks.append(gm)
             counts.append(gc)

@@ -358,6 +358,39 @@ class TestDenseConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6)
 
+    def test_n_chunk_matches_unchunked(self):
+        """n_chunk (source-dim scan) must reproduce the unchunked result
+        to fp-summation tolerance — including a non-dividing chunk width
+        (padding path) — and keep grads finite."""
+        from dmcf_tpu.ops.cconv import continuous_conv_dense
+        pts, qs, feats, kernel, radius = self._setup(seed=7)
+        win = get_window_func("poly6")
+        rel = (jnp.asarray(pts)[None, :, :]
+               - jnp.asarray(qs)[:, None, :]) / radius
+        d2 = jnp.sum(rel * rel, axis=-1)
+        a = jnp.where(d2 <= 1.0, win(d2), 0.0)
+        want = continuous_conv_dense(jnp.asarray(kernel), rel, a,
+                                     jnp.asarray(feats),
+                                     precision="highest")
+        for chunk in (16, 24):  # 24 does not divide n=64 -> padding
+            got = continuous_conv_dense(jnp.asarray(kernel), rel, a,
+                                        jnp.asarray(feats),
+                                        precision="highest", n_chunk=chunk)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-6)
+
+        def loss(k):
+            out = continuous_conv_dense(k, rel, a, jnp.asarray(feats),
+                                        precision="highest", n_chunk=24)
+            return jnp.sum(out ** 2)
+        g = jax.grad(loss)(jnp.asarray(kernel))
+        assert bool(jnp.all(jnp.isfinite(g)))
+        g_ref = jax.grad(lambda k: jnp.sum(continuous_conv_dense(
+            k, rel, a, jnp.asarray(feats), precision="highest") ** 2))(
+            jnp.asarray(kernel))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_bf16_fast_path_close(self):
         from dmcf_tpu.ops.cconv import continuous_conv_dense
         pts, qs, feats, kernel, radius = self._setup(seed=5)
