@@ -411,21 +411,37 @@ def continuous_conv_dense(kernel,
         nchunks = -(-n // n_chunk)
         npad = nchunks * n_chunk - n
         f_in = inp_features
+        # slice the pair field per coordinate PLANE: dynamic_slice forces
+        # its operand to materialize, and a materialized [Q, N, 3] array
+        # pads its minor dim 3 to the 128-lane TPU tile — a 42.7x HBM
+        # blow-up (batch-16 WaterRamps training: 16 x 1.85 GB).  Plane
+        # extraction stays fused into get_dense's broadcast-subtract, so
+        # only well-tiled [Q, N] planes ever exist.
+        rel_p = tuple(rel[..., c] for c in range(3))
         if npad:
             # padded sources carry a == 0 and harmless in-ball geometry
             # (mirrors SearchCache.get_dense's invalid-pair sanitization,
             # keeping every VJP path through them finite)
-            rel = jnp.pad(rel, ((0, 0), (0, npad), (0, 0)),
-                          constant_values=1.0)
+            rel_p = tuple(jnp.pad(r, ((0, 0), (0, npad)),
+                                  constant_values=1.0) for r in rel_p)
             a = jnp.pad(a, ((0, 0), (0, npad)))
             f_in = jnp.pad(f_in, ((0, npad), (0, 0)))
 
+        # remat the chunk body: without it the scan's VJP saves each
+        # chunk's [q, n_chunk, s] tap field A as a stacked residual —
+        # re-materializing the full [q, n, s] field the chunking exists
+        # to avoid.  Recomputing taps in the backward pass is the trade.
+        @jax.checkpoint
+        def chunk_T(rel_c, a_c, f_c):
+            return taps_times_feats(rel_c, a_c, f_c)
+
         def body(T, i):
             start = i * n_chunk
-            rel_c = jax.lax.dynamic_slice_in_dim(rel, start, n_chunk, 1)
+            rel_c = tuple(jax.lax.dynamic_slice_in_dim(r, start, n_chunk, 1)
+                          for r in rel_p)
             a_c = jax.lax.dynamic_slice_in_dim(a, start, n_chunk, 1)
             f_c = jax.lax.dynamic_slice_in_dim(f_in, start, n_chunk, 0)
-            return T + taps_times_feats(rel_c, a_c, f_c), None
+            return T + chunk_T(rel_c, a_c, f_c), None
 
         T = jnp.zeros((q, s_total, cin), jnp.float32)
         T, _ = jax.lax.scan(body, T, jnp.arange(nchunks, dtype=jnp.int32))

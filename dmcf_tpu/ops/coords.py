@@ -146,7 +146,14 @@ def compute_centered_filter_coordinates(rel, filter_size, mapping,
     form would leak rounding error through the ``1 - frac`` mirror.
     """
     sz, sy, sx = filter_size
-    x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
+    if isinstance(rel, (tuple, list)):
+        # coordinate-plane form (x, y, z), each [...]: callers at large
+        # Q*K gather positions one plane at a time because a [..., 3]
+        # array pads its minor dim to the 128-lane TPU tile (42.7x HBM
+        # blow-up on wide neighbor lists)
+        x, y, z = rel
+    else:
+        x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
     x, y, z = apply_coordinate_mapping(x, y, z, mapping)
 
     def to_centered(u, size):

@@ -146,16 +146,39 @@ def select_k_valid(valid, dist, k, method=None):
     return idx, mask, dist_k, count
 
 
-def _recompute_dist(points, queries, idx, mask, metric):
+def _recompute_dist(points, queries, idx, mask, metric,
+                    chunk_elems=2 * 1024 * 1024):
     """Exact per-neighbor distance from gathered positions (squared for L2,
-    matching Open3D's return convention)."""
-    d = points[idx] - queries[:, None, :]
-    if metric == "L2":
-        dist = jnp.sum(d * d, axis=-1)
-    elif metric == "L1":
-        dist = jnp.sum(jnp.abs(d), axis=-1)
+    matching Open3D's return convention).
+
+    The [Q, K, 3] position gather is the fast form on TPU (one descriptor
+    per row; take_along_axis from the wide candidate matrix measured ~12x
+    slower) — but its output tiles with the minor dim 3 padded to 128
+    lanes, a 42.7x HBM blow-up that OOMs at huge Q*K (canyon demo (0,2)
+    pair: Q=23104 x K=1856 -> 21.9 GB).  Past ``chunk_elems`` the gather
+    runs K-chunked under lax.map, bounding the padded transient (~512 B
+    per element -> ~1 GB at the default) while keeping the same per-row
+    gather form."""
+    q, k = idx.shape
+
+    def dist_of(idx_c, q_c):
+        d = points[idx_c] - q_c[:, None, :]
+        if metric == "L2":
+            return jnp.sum(d * d, axis=-1)
+        elif metric == "L1":
+            return jnp.sum(jnp.abs(d), axis=-1)
+        return jnp.max(jnp.abs(d), axis=-1)
+
+    if q * k <= chunk_elems:
+        dist = dist_of(idx, queries)
     else:
-        dist = jnp.max(jnp.abs(d), axis=-1)
+        kc = max(chunk_elems // max(q, 1), 8)
+        nc = -(-k // kc)
+        idx_p = jnp.pad(idx, ((0, 0), (0, nc * kc - k)))
+        idx_ch = jnp.moveaxis(idx_p.reshape(q, nc, kc), 1, 0)
+        dist = jnp.moveaxis(
+            jax.lax.map(lambda ic: dist_of(ic, queries), idx_ch),
+            0, 1).reshape(q, nc * kc)[:, :k]
     return jnp.where(mask, dist, 0.0)
 
 

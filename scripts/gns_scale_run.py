@@ -85,6 +85,7 @@ def main():
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--window", type=int, default=3)
     ap.add_argument("--device", default="tpu")
     ap.add_argument("--keep", action="store_true",
                     help="keep the work dir (print its path)")
@@ -143,12 +144,11 @@ def main():
         "--pipeline.run_valid_every_epoch", "False",
         "--pipeline.run_test_every_epoch", "False",
         "--pipeline.log_every", "10",
-        # window 2 (vs the config's opening 3): the fused tap tensors of
-        # batch 16 x window 3 x 4.3k particles exceed one chip's HBM under
-        # the scan's rematerialization (measured OOM at 16 GB); window 2
-        # keeps the reference's batch-16 budget shape while the loader
-        # headroom question (the point of this drive) is unaffected
-        "--pipeline.windows", "[2]",
+        # reference opening window 3 (configs/WaterRamps.yml:74): runs on
+        # one chip now that the dense pairs' training tap fields are
+        # source-chunked + remat'd (model dense_n_chunk; an unchunked
+        # batch-16 x window-3 step measured OOM at 16 GB in r3)
+        "--pipeline.windows", f"[{args.window}]",
         "--pipeline.window_bnds", "[]",
         "--pipeline.data_generator.train.num_workers", str(args.workers),
     ]
@@ -171,7 +171,7 @@ def main():
     per_step = wall / max(args.iters, 1)
     print(json.dumps({
         "iters": args.iters, "batch": args.batch,
-        "workers": args.workers,
+        "window": args.window, "workers": args.workers,
         "wall_s": round(wall, 1),
         "wall_per_step_ms": round(1000 * per_step, 1),
         "data_latency_ms": [round(1000 * v, 2) for v in lat],

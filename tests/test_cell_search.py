@@ -166,3 +166,24 @@ class TestContactWeightDense:
         d2 = np.sum((qry[:, None] - pts[None, :40]) ** 2, -1)
         ref = np.where(qmask, np.sum(d2 <= 0.09, axis=1), 0)
         np.testing.assert_array_equal(np.asarray(w1), ref)
+
+
+class TestRecomputeDistChunked:
+    def test_chunked_equals_single_shot(self):
+        """_recompute_dist past chunk_elems runs the [Q, K, 3] position
+        gather K-chunked under lax.map (the unchunked gather's lane-padded
+        output OOMs at canyon-demo Q*K) — same values, bounded transient."""
+        from dmcf_tpu.ops.neighbors import _recompute_dist
+        rng = np.random.RandomState(11)
+        pts = jnp.asarray(rng.uniform(-1, 1, (200, 3)).astype(np.float32))
+        qry = jnp.asarray(rng.uniform(-1, 1, (37, 3)).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 200, (37, 29)).astype(np.int32))
+        mask = jnp.asarray(rng.rand(37, 29) < 0.8)
+        for metric in ("L2", "L1", "Linf"):
+            ref = _recompute_dist(pts, qry, idx, mask, metric)
+            got = _recompute_dist(pts, qry, idx, mask, metric,
+                                  chunk_elems=64)  # force ~17 chunks
+            # 1-ULP tolerance: XLA fuses the sum-of-squares with FMA
+            # differently inside the lax.map body
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                       rtol=2e-7, atol=0.0)
