@@ -276,6 +276,12 @@ def main():
     # the 600-step rollout.  A violation still prints the JSON line (the
     # driver records it) but exits non-zero so it can't regress silently.
     exact = int(po) <= 0 and int(mx) <= int(cfg.get("neighbor_k", 64))
+    # the canyon detail rides the same gate (ADVICE r4): when the canyon
+    # bench ran, its overflow counters must also be clean or we exit 1
+    if isinstance(canyon, dict) and "error" not in canyon:
+        exact = exact and int(canyon.get("pair_overflow", 0)) <= 0 \
+            and int(canyon.get("max_neighbors", 0)) <= \
+            int(canyon.get("neighbor_k", 1 << 30))
     result = {
         "metric": "WaterRamps_SymNet_rollout_steps_per_sec",
         "value": round(steps_per_sec, 2),

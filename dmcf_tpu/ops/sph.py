@@ -19,7 +19,33 @@ import numpy as np
 from .neighbors import fixed_radius_search
 
 PAD_POS = 1e8  # sentinel coordinate for padded particles
-_KEY_SENTINEL = np.iinfo(np.int32).max
+
+
+def _dedup_cells(cells, cmask, out_max):
+    """Fixed-shape unique rows of int32 cell coordinates.
+
+    Lexicographic 3-column sort instead of a linearized extent key
+    (ADVICE r4 medium): ``dims0*dims1*dims2`` overflows int32 at
+    canyon-scale fine grids, and a single valid far row (float->int32
+    conversion clamps at INT32_MAX) used to wrap the extent negative,
+    clipping every cell to rel=0 and silently collapsing the whole grid to
+    one voxel.  Column-wise sorting is exact for ANY coordinate range —
+    stray far rows dedup to their own (garbage-position, harmless) voxel
+    instead of destroying the grid.
+
+    Returns (cells [out_max, 3], mask [out_max], count).
+    """
+    sent = jnp.iinfo(cells.dtype).max
+    cs = jnp.where(cmask[:, None], cells, sent)
+    order = jnp.lexsort((cs[:, 2], cs[:, 1], cs[:, 0]))
+    scs = cs[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), jnp.any(scs[1:] != scs[:-1], axis=-1)])
+    uniq = first & cmask[order]
+    count = jnp.sum(uniq, dtype=jnp.int32)
+    # stable sort by ~uniq brings unique entries to the front
+    order2 = jnp.argsort(jnp.logical_not(uniq), stable=True)[:out_max]
+    return scs[order2], uniq[order2], count
 
 
 def pad_sentinel_positions(n, start=0.0, dtype=jnp.float32):
@@ -121,28 +147,7 @@ def grid_pos(pos,
     cells = (cand[:, None, :] + offs[None, :, :]).reshape(-1, 3)  # [M, 3]
     cmask = jnp.repeat(jnp.concatenate([mask, mask]), offs.shape[0])
 
-    # linearize relative to the valid extent
-    big = jnp.iinfo(jnp.int32).max
-    cells_v = jnp.where(cmask[:, None], cells, big)
-    minp = jnp.min(cells_v, axis=0)
-    cells_v2 = jnp.where(cmask[:, None], cells, jnp.iinfo(jnp.int32).min)
-    maxp = jnp.max(cells_v2, axis=0)
-    dims = jnp.maximum(maxp - minp + 1, 1)
-    rel = jnp.clip(cells - minp, 0, dims - 1)
-    key = rel[:, 0] + rel[:, 1] * dims[0] + rel[:, 2] * dims[0] * dims[1]
-    key = jnp.where(cmask, key, _KEY_SENTINEL)
-
-    # sort, flag first occurrences, compact to the front
-    order = jnp.argsort(key)
-    skey = key[order]
-    scells = cells[order]
-    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    uniq = first & (skey != _KEY_SENTINEL)
-    count = jnp.sum(uniq, dtype=jnp.int32)
-    # stable sort by ~uniq brings unique entries to the front
-    order2 = jnp.argsort(jnp.logical_not(uniq), stable=True)[:out_max]
-    out_cells = scells[order2]
-    out_mask = uniq[order2]
+    out_cells, out_mask, count = _dedup_cells(cells, cmask, out_max)
 
     vsd = jnp.asarray(voxel_size, dtype)
     if centralize:
@@ -204,25 +209,7 @@ def grid_pos_bnds(pos, mask, voxel_size, out_max, centralize=False):
     else:
         cells = jnp.round(pos / vs).astype(jnp.int32)
 
-    big_i = jnp.iinfo(jnp.int32).max
-    cells_v = jnp.where(mask[:, None], cells, big_i)
-    minp = jnp.min(cells_v, axis=0)
-    maxp = jnp.max(jnp.where(mask[:, None], cells, jnp.iinfo(jnp.int32).min),
-                   axis=0)
-    dims = jnp.maximum(maxp - minp + 1, 1)
-    rel = jnp.clip(cells - minp, 0, dims - 1)
-    key = rel[:, 0] + rel[:, 1] * dims[0] + rel[:, 2] * dims[0] * dims[1]
-    key = jnp.where(mask, key, _KEY_SENTINEL)
-
-    order = jnp.argsort(key)
-    skey = key[order]
-    scells = cells[order]
-    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    uniq = first & (skey != _KEY_SENTINEL)
-    count = jnp.sum(uniq, dtype=jnp.int32)
-    order2 = jnp.argsort(jnp.logical_not(uniq), stable=True)[:out_max]
-    out_cells = scells[order2]
-    out_mask = uniq[order2]
+    out_cells, out_mask, count = _dedup_cells(cells, mask, out_max)
 
     vsd = jnp.asarray(voxel_size, dtype)
     if centralize:

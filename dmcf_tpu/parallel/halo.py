@@ -165,9 +165,9 @@ def make_halo_search_conv(mesh, *, radius, k, halo_cap, kernel_shape=None,
         lo, hi = bounds[0, 0], bounds[0, 1]
 
         # select boundary-zone rows and exchange with both neighbors
-        send_r_pos, send_r_pay, _, cnt_r = _halo_select(
+        send_r_pos, send_r_pay, send_r_m, cnt_r = _halo_select(
             pos, mask, payload, axis, hi - radius, +1, halo_cap)
-        send_l_pos, send_l_pay, _, cnt_l = _halo_select(
+        send_l_pos, send_l_pay, send_l_m, cnt_l = _halo_select(
             pos, mask, payload, axis, lo + radius, -1, halo_cap)
         over = (jnp.maximum(cnt_r - halo_cap, 0)
                 + jnp.maximum(cnt_l - halo_cap, 0))
@@ -176,12 +176,13 @@ def make_halo_search_conv(mesh, *, radius, k, halo_cap, kernel_shape=None,
         recv_l_pay = jax.lax.ppermute(send_r_pay, axis_name, right)
         recv_r_pos = jax.lax.ppermute(send_l_pos, axis_name, left)
         recv_r_pay = jax.lax.ppermute(send_l_pay, axis_name, left)
-        # unmatched edges receive zeros; zero-rows would form a fake dense
-        # cell at the origin — mask by the zone test against OUR planes
-        lmask = recv_l_pos[:, axis] >= lo - radius
-        lmask &= jnp.any(recv_l_pos != 0.0, axis=-1)
-        rmask = recv_r_pos[:, axis] <= hi + radius
-        rmask &= jnp.any(recv_r_pos != 0.0, axis=-1)
+        # the sender's validity mask rides along (ADVICE r4): a coordinate
+        # zone test against OUR planes is one-sided — the far sentinels of
+        # unused halo slots pass ">= lo - r" and leak as mask-True rows —
+        # and a two-sided test would drop drifted owned points physically
+        # inside our slab.  Unmatched edges receive zeros -> all-False.
+        lmask = jax.lax.ppermute(send_r_m, axis_name, right)
+        rmask = jax.lax.ppermute(send_l_m, axis_name, left)
         far = 3e9
         recv_l_pos = jnp.where(
             lmask[:, None], recv_l_pos,

@@ -175,9 +175,9 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
         lo, hi = bounds[0, 0], bounds[0, 1]
 
         # --- fluid halo exchange (one fat zone at the receptive field) ---
-        send_r_pos, send_r_pay, _, cnt_r = _halo_select(
+        send_r_pos, send_r_pay, send_r_m, cnt_r = _halo_select(
             pos, mask, payload, axis, hi - halo_width, +1, halo_cap)
-        send_l_pos, send_l_pay, _, cnt_l = _halo_select(
+        send_l_pos, send_l_pay, send_l_m, cnt_l = _halo_select(
             pos, mask, payload, axis, lo + halo_width, -1, halo_cap)
         over = (jnp.maximum(cnt_r - halo_cap, 0)
                 + jnp.maximum(cnt_l - halo_cap, 0))
@@ -186,10 +186,14 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
         recv_l_pay = jax.lax.ppermute(send_r_pay, axis_name, right)
         recv_r_pos = jax.lax.ppermute(send_l_pos, axis_name, left)
         recv_r_pay = jax.lax.ppermute(send_l_pay, axis_name, left)
-        lmask = (recv_l_pos[:, axis] >= lo - halo_width) \
-            & jnp.any(recv_l_pos != 0.0, axis=-1)
-        rmask = (recv_r_pos[:, axis] <= hi + halo_width) \
-            & jnp.any(recv_r_pos != 0.0, axis=-1)
+        # the sender's validity mask rides along (ADVICE r4 high): the old
+        # one-sided zone test (">= lo - halo") let unused halo slots' far
+        # sentinels (~2e9) enter the model step as mask-True fluid, which
+        # collapsed grid_pos's voxel extent; a two-sided test would instead
+        # drop owned points that drifted into our slab.  Unmatched mesh
+        # edges receive zeros -> all-False masks.
+        lmask = jax.lax.ppermute(send_r_m, axis_name, right)
+        rmask = jax.lax.ppermute(send_l_m, axis_name, left)
         recv_l_pos = jnp.where(
             lmask[:, None], recv_l_pos,
             2 * _FAR + jnp.arange(halo_cap, dtype=pos.dtype)[:, None])
@@ -230,6 +234,12 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
             "neighbor_overflow": aux["neighbor_overflow"][None],
             "pair_overflow": jnp.asarray(
                 aux.get("pair_overflow", -(2 ** 30)), jnp.int32)[None],
+            # per-shard dilated voxel counts: every single-device occupied
+            # voxel must be counted by at least its owning shard (grids are
+            # anchored at the psum'd global center), so per scale
+            # sum_over_shards >= single-device count — a structural
+            # exactness witness independent of output tolerances
+            "scale_counts": aux["scale_counts"][None],
         }
         return p2[None, :fcap], v2[None, :fcap], out_aux
 
@@ -243,7 +253,7 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
         out_specs=(sharded, sharded,
                    {"halo_overflow": sharded, "halo_escaped": sharded,
                     "neighbor_overflow": sharded,
-                    "pair_overflow": sharded}),
+                    "pair_overflow": sharded, "scale_counts": sharded}),
         check_vma=False)
 
     def run(params, parts):
@@ -256,6 +266,7 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
             "halo_escaped": jnp.sum(aux["halo_escaped"]),
             "neighbor_overflow": jnp.max(aux["neighbor_overflow"]),
             "pair_overflow": jnp.max(aux["pair_overflow"]),
+            "scale_counts": aux["scale_counts"],  # [D, n_scales]
         })
 
     return run

@@ -117,6 +117,20 @@ class TestHaloModelExactness:
         assert int(aux["halo_overflow"]) == 0
         assert int(aux["halo_escaped"]) == 0
 
+        # structural witness (ADVICE r4): output tolerances alone can pass
+        # while the coarse pyramid silently collapses (random-init coarse
+        # contributions are tiny).  Every single-device occupied voxel is
+        # stamped by at least its owning shard (grids anchored at the
+        # psum'd global center), so per coarse scale the per-shard counts
+        # must each be <= the single count and sum to >= it.
+        counts_sh = np.asarray(aux["scale_counts"])       # [D, n_scales]
+        counts_1 = np.asarray(aux_ref["scale_counts"])    # [n_scales]
+        for s in range(1, counts_1.shape[0]):
+            assert counts_sh[:, s].sum() >= counts_1[s], (
+                s, counts_sh[:, s], counts_1[s])
+            assert (counts_sh[:, s] <= counts_1[s]).all(), (
+                s, counts_sh[:, s], counts_1[s])
+
         n = sample["pos"].shape[0]
         got_p = gather_owned(parts, np.asarray(p), n)
         got_v = gather_owned(parts, np.asarray(v), n)

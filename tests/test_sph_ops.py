@@ -179,3 +179,24 @@ class TestGridPosBnds:
         gp, gm, gc = grid_pos_bnds(pts, jnp.ones(3, bool),
                                    [0.05, 0.05, 0.05], out_max=8)
         assert int(gc) == 2  # first two round to the same cell
+
+
+class TestGridPosFarRow:
+    def test_valid_far_row_does_not_collapse_grid(self):
+        """ADVICE r4: a single mask-TRUE far row (e.g. a leaked halo
+        sentinel at ~2e9) used to wrap the int32 extent linearization
+        negative and silently dedup the entire grid to ONE voxel.  The
+        lexicographic dedup must keep every real voxel; the stray row may
+        add at most a few garbage voxels of its own."""
+        from dmcf_tpu.ops.sph import grid_pos
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+        mask = np.ones(64, bool)
+        vs = [0.25, 0.25, 0.25]
+        _, _, c_ref = grid_pos(jnp.asarray(pts), jnp.asarray(mask), vs, 512)
+
+        bad = np.concatenate([pts, [[2e9, 2e9, 2e9]]], 0).astype(np.float32)
+        bmask = np.ones(65, bool)
+        _, _, c_bad = grid_pos(jnp.asarray(bad), jnp.asarray(bmask), vs, 512)
+        assert int(c_bad) >= int(c_ref) > 8
+        assert int(c_bad) <= int(c_ref) + 8
