@@ -99,12 +99,15 @@ class HRNet(PBFNet):
         if (0 < self.dense_pair_min_k
                 <= self.k_for_pair(inp_scale, out_scale)
                 and not ignore_query):
+            n = ctx["dilated_pos"][inp_scale].shape[0]
+            q = ctx["dilated_pos"][out_scale].shape[0]
             dp = ctx["cache"].get_dense(
                 f"dilated{inp_scale}", f"dilated{out_scale}", radius,
                 ctx["dilated_pos"][inp_scale],
                 ctx["dilated_mask"][inp_scale],
                 ctx["dilated_pos"][out_scale],
-                ctx["dilated_mask"][out_scale])
+                ctx["dilated_mask"][out_scale],
+                lazy=q * n >= self.dense_lazy_min_elems)
             return dp, None
         nl = ctx["cache"].get(
             f"dilated{inp_scale}", f"dilated{out_scale}", radius,

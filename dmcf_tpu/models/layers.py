@@ -15,8 +15,8 @@ import numpy as np
 
 from ..ops import (build_circular_kernel, build_symmetric_kernel,
                    continuous_conv)
-from ..ops.cconv import continuous_conv_dense
-from ..ops.neighbors import DensePair, NeighborList
+from ..ops.cconv import continuous_conv_dense, continuous_conv_dense_lazy
+from ..ops.neighbors import DensePair, LazyDensePair, NeighborList
 
 
 def _uniform_init(scale=0.05):
@@ -110,6 +110,31 @@ class ContinuousConv(nn.Module):
                                 (*ks, cin, self.filters))
 
         symmetric_conv = self.symmetric and not self.circular
+
+        if isinstance(neighbors, LazyDensePair):
+            # deferred-geometry dense path (canyon-scale pairs): the [Q, N]
+            # pair field is recomputed per source chunk inside the conv, so
+            # nothing O(Q*N) is ever resident (see LazyDensePair)
+            assert not symmetric_conv and not self.normalize, \
+                "dense conv path covers plain trunk convs only"
+            assert inp_importance is None, \
+                "lazy dense path folds importance into features"
+            lp = neighbors
+            out = continuous_conv_dense_lazy(
+                kernel, lp.src_pos, lp.src_mask, lp.dst_pos, lp.dst_mask,
+                lp.radius, inp_features,
+                window_fn=self.window_function,
+                coordinate_mapping=self.coordinate_mapping,
+                interpolation=self.interpolation,
+                align_corners=self.align_corners,
+                precision=self.precision,
+                n_chunk=(self.n_chunk if n_chunk is None else n_chunk))
+            if self.use_bias:
+                out = out + self.param("bias", nn.initializers.zeros,
+                                       (self.filters,))
+            if self.activation is not None:
+                out = self.activation(out)
+            return out
 
         if isinstance(neighbors, DensePair):
             # dense no-neighbor-list path (exact, no K budget): window +

@@ -38,7 +38,7 @@ from ..ops import (align_vector, compute_pressure,
                    compute_transformed_dx, get_dilated_pos, masked_positions,
                    point_sampling)
 from ..ops.cconv import build_tap_tensor
-from ..ops.neighbors import (DensePair, NeighborList,
+from ..ops.neighbors import (DensePair, LazyDensePair, NeighborList,
                              batched_fixed_radius_search)
 from ..ops.windows import get_window_func
 from .layers import ContinuousConv, Dense
@@ -108,9 +108,22 @@ class SearchCache:
         self._taps: Dict[Tuple, jax.Array] = {}
 
     def get_dense(self, src_name, dst_name, radius, points, pmask, queries,
-                  qmask):
-        """Dense pair field (see DensePair) per (src, dst, radius)."""
+                  qmask, lazy=False):
+        """Dense pair field (see DensePair) per (src, dst, radius).
+
+        With ``lazy=True`` (canyon-scale pairs, chosen by
+        PBFNet.dense_lazy_min_elems) the geometry is NOT materialized —
+        a LazyDensePair carries the point sets and the conv recomputes the
+        [Q, N] field per source chunk (ops/cconv.continuous_conv_dense_lazy),
+        keeping HBM residency O(Q + N) instead of O(Q*N)."""
         key = ("dense", src_name, dst_name, float(radius))
+        if lazy:
+            if key not in self._cache:
+                self._cache[key] = LazyDensePair(
+                    src_pos=points, src_mask=pmask.astype(bool),
+                    dst_pos=queries, dst_mask=qmask.astype(bool),
+                    radius=float(radius))
+            return self._cache[key]
         if key not in self._cache:
             radius = jnp.asarray(radius, points.dtype)
             rel = points[None, :, :] - queries[:, None, :]  # [Q, N, 3]
@@ -261,6 +274,14 @@ class PBFNet(nn.Module):
     # dense_chunk_for).
     dense_n_chunk: int = 0
     dense_n_chunk_eval: Optional[int] = None
+    # dense pairs whose static Q*N reaches this many elements skip the
+    # eager cached [Q, N] geometry (SearchCache.get_dense) and carry a
+    # LazyDensePair instead: the conv recomputes the pair field per source
+    # chunk, so residency stays O(Q + N).  At canyon scale the eager
+    # fp32 planes are ~2.3 GB per pair with up to 8 pairs live; below the
+    # threshold the eager cache wins (geometry shared across the pair's
+    # convs).  The lazy conv always source-chunks (default 512).
+    dense_lazy_min_elems: int = 1 << 24
     # fixed-shape analog of the reference's per-step boundary AABB crop
     # (models/pbf_model.py:330-336): when > 0 and smaller than the padded
     # boundary array, the step compacts the boundary particles inside the
@@ -969,6 +990,10 @@ class PBFNet(nn.Module):
         pair_over = jnp.asarray(0, jnp.int32)
         pair_over_detail = {}
         for ckey, nl in ctx["cache"]._cache.items():
+            if isinstance(nl, LazyDensePair):
+                # no [Q, N] field exists to reduce over; dense pairs
+                # cannot overflow by construction, so nothing to report
+                continue
             if isinstance(nl, DensePair):
                 # dense pairs cannot overflow (budget == source set); the
                 # detail entry still reports max true count - N as the

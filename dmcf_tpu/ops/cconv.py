@@ -322,6 +322,30 @@ def continuous_conv(kernel,
     return out
 
 
+def _dense_contract(rel_c, a_c, f_c, *, filter_size, coordinate_mapping,
+                    interpolation, align_corners, offset, fast_bf16,
+                    mm_precision, dtype):
+    """Shared inner contraction of the dense conv paths:
+    ``T_c[q, s, c] = sum_n (a[q, n] * w[q, n, s]) f[n, c]`` for one source
+    slice.  The [q, nc, s] tap field is the dominant transient; everything
+    fuses into the einsum's operand read."""
+    q, nc_ = a_c.shape
+    s_total = filter_size[0] * filter_size[1] * filter_size[2]
+    wz, wy, wx = _tap_weights(rel_c, filter_size, coordinate_mapping,
+                              interpolation, align_corners, offset)
+    wzy = wz[..., :, None] * wy[..., None, :]
+    A = (wzy.reshape(q, nc_, filter_size[0] * filter_size[1])
+         [..., :, None] * wx[..., None, :]).reshape(q, nc_, s_total)
+    A = A * a_c[..., None]
+    if fast_bf16:
+        A = A.astype(jnp.bfloat16)
+        f_c = f_c.astype(jnp.bfloat16)
+    else:
+        f_c = f_c.astype(dtype)
+    return jnp.einsum("qns,nc->qsc", A, f_c, precision=mm_precision,
+                      preferred_element_type=jnp.float32)
+
+
 def continuous_conv_dense(kernel,
                           rel,
                           a,
@@ -392,20 +416,12 @@ def continuous_conv_dense(kernel,
     def taps_times_feats(rel_c, a_c, f_c):
         """T_c[q, s, c] for one source slice — the [q, nc, s] tap field is
         the dominant transient; everything fuses into the contraction."""
-        nc_ = a_c.shape[1]
-        wz, wy, wx = _tap_weights(rel_c, filter_size, coordinate_mapping,
-                                  interpolation, align_corners, offset)
-        wzy = wz[..., :, None] * wy[..., None, :]
-        A = (wzy.reshape(q, nc_, filter_size[0] * filter_size[1])
-             [..., :, None] * wx[..., None, :]).reshape(q, nc_, s_total)
-        A = A * a_c[..., None]
-        if fast_bf16:
-            A = A.astype(jnp.bfloat16)
-            f_c = f_c.astype(jnp.bfloat16)
-        else:
-            f_c = f_c.astype(dtype)
-        return jnp.einsum("qns,nc->qsc", A, f_c, precision=mm_precision,
-                          preferred_element_type=jnp.float32)
+        return _dense_contract(rel_c, a_c, f_c, filter_size=filter_size,
+                               coordinate_mapping=coordinate_mapping,
+                               interpolation=interpolation,
+                               align_corners=align_corners, offset=offset,
+                               fast_bf16=fast_bf16,
+                               mm_precision=mm_precision, dtype=dtype)
 
     if 0 < n_chunk < n:
         nchunks = -(-n // n_chunk)
@@ -448,6 +464,131 @@ def continuous_conv_dense(kernel,
         T = T.astype(mm_dtype)
     else:
         T = taps_times_feats(rel, a, inp_features).astype(mm_dtype)
+
+    out = jnp.matmul(T.reshape(q, s_total * cin),
+                     kernel.reshape(s_total * cin, cout).astype(mm_dtype),
+                     precision=mm_precision,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out
+
+
+def continuous_conv_dense_lazy(kernel,
+                               src_pos,
+                               src_mask,
+                               dst_pos,
+                               dst_mask,
+                               radius,
+                               inp_features,
+                               *,
+                               window_fn=None,
+                               coordinate_mapping: str =
+                               "ball_to_cube_volume_preserving",
+                               interpolation: str = "linear",
+                               align_corners: bool = True,
+                               offset=None,
+                               out_dtype=None,
+                               precision="default",
+                               n_chunk: int = 512):
+    """:func:`continuous_conv_dense` with deferred pair geometry.
+
+    Instead of consuming a precomputed [Q, N] pair field (rel planes /
+    window argument / validity), the geometry is recomputed per
+    ``n_chunk``-wide source slice inside the scan — one fused
+    subtract/compare/window per chunk, so NOTHING O(Q*N)-shaped is ever
+    resident in HBM.  This is what lets canyon-scale pairs (12k x 12k)
+    run dense: an eager DensePair's cached fp32 planes are ~2.3 GB per
+    pair there, and the trunk holds up to 8 pairs live at once.
+
+    Exactness matches the eager path bit-for-bit on valid pairs: same
+    unit-ball scaling, same invalid-pair sanitization (rel pinned to 1.0 /
+    qnorm to 2.0 outside the ball so every VJP stays finite — see
+    SearchCache.get_dense), same ragged-exact semantics as the reference's
+    CSR lists (utils/convolutions.py:352-373) with no K budget to overflow.
+
+    Args mirror :func:`continuous_conv_dense` except geometry comes as
+    (src_pos [N,3], src_mask [N], dst_pos [Q,3], dst_mask [Q], radius) and
+    the window fold happens inside.  ``n_chunk`` <= 0 falls back to 512
+    (the lazy path exists for scales where unchunked [Q, N, S] cannot fit).
+    """
+    ksz = kernel.shape
+    filter_size = (ksz[0], ksz[1], ksz[2])
+    cin, cout = ksz[3], ksz[4]
+    s_total = filter_size[0] * filter_size[1] * filter_size[2]
+    dtype = out_dtype or inp_features.dtype
+    q = dst_pos.shape[0]
+    n = src_pos.shape[0]
+    if n_chunk <= 0:
+        n_chunk = 512
+    n_chunk = min(n_chunk, n)
+
+    fast_bf16 = precision in (None, "default") and dtype == jnp.float32
+    if fast_bf16:
+        mm_precision = None
+        mm_dtype = jnp.bfloat16
+    else:
+        mm_precision = precision
+        mm_dtype = dtype
+
+    inv_r = jnp.asarray(1.0 / radius, dst_pos.dtype)
+    dmask = dst_mask.astype(bool)
+    # per-plane query coordinates (a [Q, 3] slice is cheap; the [Q, N, 3]
+    # broadcast it feeds must stay plane-form — minor dim 3 pads to the
+    # 128-lane TPU tile, a 42.7x HBM blow-up if materialized)
+    dst_p = tuple(dst_pos[:, c] for c in range(3))
+
+    r2 = jnp.asarray(radius, dst_pos.dtype) ** 2
+    inv_r2 = jnp.asarray(1.0 / (radius * radius), dst_pos.dtype)
+
+    def chunk_T(src_c, smask_c, f_c):
+        rel_u = tuple(src_c[:, c][None, :] - dst_p[c][:, None]
+                      for c in range(3))
+        d2 = rel_u[0] * rel_u[0] + rel_u[1] * rel_u[1] + rel_u[2] * rel_u[2]
+        # validity in UNSCALED space (d2 <= r^2), exactly as the eager
+        # SearchCache.get_dense computes it — same borderline inclusion
+        valid = (d2 <= r2) & smask_c[None, :].astype(bool) & dmask[:, None]
+        # invalid pairs pinned to harmless geometry just outside the ball:
+        # padded rows sit at far sentinels whose window/mapping VJPs
+        # overflow fp32, and the where-VJP would turn 0 x inf into NaN
+        rel = tuple(jnp.where(valid, r * inv_r, 1.0) for r in rel_u)
+        qn = jnp.where(valid, d2 * inv_r2, 2.0)
+        a = valid.astype(jnp.float32)
+        if window_fn is not None:
+            a = a * jnp.where(valid, window_fn(qn), 0.0)
+        # plane order (x, y, z) — _tap_weights' tuple convention
+        return _dense_contract((rel[0], rel[1], rel[2]), a, f_c,
+                               filter_size=filter_size,
+                               coordinate_mapping=coordinate_mapping,
+                               interpolation=interpolation,
+                               align_corners=align_corners, offset=offset,
+                               fast_bf16=fast_bf16,
+                               mm_precision=mm_precision, dtype=dtype)
+
+    if n_chunk < n:
+        nchunks = -(-n // n_chunk)
+        npad = nchunks * n_chunk - n
+        f_in = inp_features
+        if npad:
+            src_pos = jnp.pad(src_pos, ((0, npad), (0, 0)))
+            src_mask = jnp.pad(src_mask, (0, npad))
+            f_in = jnp.pad(f_in, ((0, npad), (0, 0)))
+
+        # remat: without it the scan's VJP saves each chunk's [q, nc, s]
+        # tap field as a stacked residual — re-materializing the full
+        # [q, n, s] field the chunking exists to avoid
+        body_fn = jax.checkpoint(chunk_T)
+
+        def body(T, i):
+            start = i * n_chunk
+            src_c = jax.lax.dynamic_slice_in_dim(src_pos, start, n_chunk, 0)
+            sm_c = jax.lax.dynamic_slice_in_dim(src_mask, start, n_chunk, 0)
+            f_c = jax.lax.dynamic_slice_in_dim(f_in, start, n_chunk, 0)
+            return T + body_fn(src_c, sm_c, f_c), None
+
+        T = jnp.zeros((q, s_total, cin), jnp.float32)
+        T, _ = jax.lax.scan(body, T, jnp.arange(nchunks, dtype=jnp.int32))
+        T = T.astype(mm_dtype)
+    else:
+        T = chunk_T(src_pos, src_mask, inp_features).astype(mm_dtype)
 
     out = jnp.matmul(T.reshape(q, s_total * cin),
                      kernel.reshape(s_total * cin, cout).astype(mm_dtype),

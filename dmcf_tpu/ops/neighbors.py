@@ -45,6 +45,31 @@ class DensePair(NamedTuple):
     count: jax.Array
 
 
+class LazyDensePair(NamedTuple):
+    """Deferred-geometry form of :class:`DensePair` for canyon-scale pairs.
+
+    Carries only the two point sets; the [Q, N] pair geometry (rel planes,
+    window argument, validity) is recomputed per source chunk inside
+    :func:`ops.cconv.continuous_conv_dense_lazy`, so nothing
+    O(Q*N)-shaped ever becomes resident in HBM — at 12k x 12k a cached
+    eager DensePair's four fp32 [Q, N] planes alone are ~2.3 GB *per
+    pair*, and the trunk holds up to 8 dense pairs live at once.  The
+    recompute is one fused subtract/compare per chunk, far below the tap
+    build it feeds.  Semantics are identical to the eager path (same
+    sanitization, same window fold): exact, no K budget.
+
+    src_pos/src_mask: [N, 3] / [N] source points and validity.
+    dst_pos/dst_mask: [Q, 3] / [Q] query points and validity.
+    radius: python float search/window radius.
+    """
+
+    src_pos: jax.Array
+    src_mask: jax.Array
+    dst_pos: jax.Array
+    dst_mask: jax.Array
+    radius: float
+
+
 class NeighborList(NamedTuple):
     """Padded fixed-K neighbor list.
 

@@ -339,6 +339,41 @@ class TestDensePairPath:
         np.testing.assert_allclose(np.asarray(vel), np.asarray(ref_vel),
                                    rtol=0, atol=2e-3)
 
+    def test_lazy_dense_matches_eager_dense_model(self):
+        """dense_lazy_min_elems=1 forces every dense pair through the
+        deferred-geometry LazyDensePair path (canyon-scale regime); model
+        outputs must match the eager dense path to fp-summation
+        tolerance (the lazy conv always source-chunks)."""
+        sample = self._grid_sample()
+        cfg = model_cfg(os.path.join(CONFIG_DIR, "WaterRamps.yml"))
+        cfg["dense_pair_min_k"] = 96
+        eager = build_model(cfg)
+        params = eager.init(jax.random.PRNGKey(7), sample, training=False)
+        ref_pos, ref_vel, _ = eager.apply(params, sample, training=False)
+
+        cfg["dense_lazy_min_elems"] = 1
+        lazy = build_model(cfg)
+        pos, vel, aux = lazy.apply(params, sample, training=False)
+        assert int(aux["pair_overflow"]) <= 0
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(ref_pos),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(vel), np.asarray(ref_vel),
+                                   rtol=0, atol=2e-3)
+
+        # training grads flow through the recomputed geometry and match
+        def loss(m, pr):
+            p, v, _ = m.apply(pr, sample, training=True)
+            return jnp.mean(jnp.where(np.asarray(sample["fluid_mask"])
+                                      [:, None], p, 0.0) ** 2)
+        g_e = jax.grad(lambda pr: loss(eager, pr))(params)
+        g_l = jax.grad(lambda pr: loss(lazy, pr))(params)
+        flat_e = jax.tree_util.tree_leaves(g_e)
+        flat_l = jax.tree_util.tree_leaves(g_l)
+        for a, b in zip(flat_e, flat_l):
+            assert bool(jnp.all(jnp.isfinite(b)))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=1e-6)
+
     def test_dense_pairs_never_overflow_beyond_budget_scene(self):
         """The overflow scene from TestKBudgets: global K=24 truncates on
         the klist path; with the same tiny budgets plus the dense gate the

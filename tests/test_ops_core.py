@@ -391,6 +391,67 @@ class TestDenseConv:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_lazy_matches_eager_dense(self):
+        """continuous_conv_dense_lazy (deferred [Q, N] geometry, canyon-
+        scale path) must match the eager dense conv exactly: same validity
+        arithmetic (unscaled d2 <= r^2), same window fold, same
+        sanitization — values AND kernel grads, chunked and unchunked,
+        with masked sources and far-sentinel padded rows."""
+        from dmcf_tpu.ops.cconv import (continuous_conv_dense,
+                                        continuous_conv_dense_lazy)
+        pts, qs, feats, kernel, radius = self._setup(seed=11)
+        win = get_window_func("poly6")
+        # masked rows at a far sentinel (the real padding regime)
+        smask = np.ones((pts.shape[0],), bool)
+        smask[::5] = False
+        pts = pts.copy()
+        pts[~smask] = 1e8
+        qmask = np.ones((qs.shape[0],), bool)
+        qmask[3] = False
+
+        rel = (jnp.asarray(pts)[None, :, :]
+               - jnp.asarray(qs)[:, None, :]) / radius
+        d2u = jnp.sum((jnp.asarray(pts)[None, :, :]
+                       - jnp.asarray(qs)[:, None, :]) ** 2, axis=-1)
+        valid = (d2u <= radius * radius) & jnp.asarray(smask)[None, :] \
+            & jnp.asarray(qmask)[:, None]
+        rel = jnp.where(valid[..., None], rel, 1.0)
+        a = jnp.where(valid, win(jnp.where(valid, d2u / radius ** 2, 2.0)),
+                      0.0)
+        want = continuous_conv_dense(jnp.asarray(kernel), rel, a,
+                                     jnp.asarray(feats), precision="highest")
+        for chunk in (0, 24):
+            got = continuous_conv_dense_lazy(
+                jnp.asarray(kernel), jnp.asarray(pts), jnp.asarray(smask),
+                jnp.asarray(qs), jnp.asarray(qmask), radius,
+                jnp.asarray(feats), window_fn=win, precision="highest",
+                n_chunk=chunk)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-6)
+
+        def loss(k):
+            out = continuous_conv_dense_lazy(
+                k, jnp.asarray(pts), jnp.asarray(smask), jnp.asarray(qs),
+                jnp.asarray(qmask), radius, jnp.asarray(feats),
+                window_fn=win, precision="highest", n_chunk=24)
+            return jnp.sum(out ** 2)
+        g = jax.grad(loss)(jnp.asarray(kernel))
+        assert bool(jnp.all(jnp.isfinite(g)))
+        g_ref = jax.grad(lambda k: jnp.sum(continuous_conv_dense(
+            k, rel, a, jnp.asarray(feats), precision="highest") ** 2))(
+            jnp.asarray(kernel))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+        # position grads through the recomputed geometry stay finite
+        # (sanitization pins invalid pairs to harmless geometry)
+        gp = jax.grad(lambda q_: jnp.sum(continuous_conv_dense_lazy(
+            jnp.asarray(kernel), jnp.asarray(pts), jnp.asarray(smask),
+            q_, jnp.asarray(qmask), radius, jnp.asarray(feats),
+            window_fn=win, precision="highest", n_chunk=24) ** 2))(
+            jnp.asarray(qs))
+        assert bool(jnp.all(jnp.isfinite(gp)))
+
     def test_bf16_fast_path_close(self):
         from dmcf_tpu.ops.cconv import continuous_conv_dense
         pts, qs, feats, kernel, radius = self._setup(seed=5)
