@@ -88,7 +88,8 @@ def receptive_field(model, *, voxel_margin=2.0):
     return rf
 
 
-def partition_model_sample(sample, n_dev, halo_width, *, axis=None):
+def partition_model_sample(sample, n_dev, halo_width, *, axis=None,
+                           bcap_round=8):
     """Host-side slab layout of a model sample for :func:`make_halo_model_step`.
 
     Fluid is split into equal-count slabs (dynamic: re-exchanged on device
@@ -118,7 +119,10 @@ def partition_model_sample(sample, n_dev, halo_width, *, axis=None):
         hi_h = np.inf if not np.isfinite(hi) else hi + halo_width
         sel.append(np.nonzero(bmask & (coord >= lo_h) & (coord < hi_h))[0])
     bcap = max(max((s.size for s in sel), default=1), 1)
-    bcap = int(-(-bcap // 8) * 8)
+    # round the boundary capacity up generously (bcap_round, e.g. 1024 for
+    # rollout drivers): re-partitions move the slab planes, and a per-shape
+    # recompile on every re-partition would dominate the host loop
+    bcap = int(-(-bcap // bcap_round) * bcap_round)
     bpos = np.zeros((n_dev, bcap, 3), box.dtype)
     bnrm = np.zeros((n_dev, bcap, 3), nrm.dtype)
     bm = np.zeros((n_dev, bcap), bool)
@@ -168,12 +172,10 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
     left = [(i + 1, i) for i in range(n_dev - 1)]
     payload_c = 6  # vel ++ grav
 
-    def body(params, pos, mask, payload, bounds,
-             bpos, bnrm, bmask, bown):
-        pos, mask, payload = pos[0], mask[0], payload[0]
-        bpos, bnrm, bmask, bown = bpos[0], bnrm[0], bmask[0], bown[0]
-        lo, hi = bounds[0, 0], bounds[0, 1]
-
+    def step_core(params, pos, mask, payload, lo, hi,
+                  bpos, bnrm, bmask, bown):
+        """One shard-local model step on unwrapped per-shard arrays;
+        shared by the single-step entry and the scanned rollout."""
         # --- fluid halo exchange (one fat zone at the receptive field) ---
         send_r_pos, send_r_pay, send_r_m, cnt_r = _halo_select(
             pos, mask, payload, axis, hi - halo_width, +1, halo_cap)
@@ -227,21 +229,30 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
         p2, v2, aux = model.apply(params, s, training=training)
 
         out_aux = {
-            "halo_overflow": over[None],
+            "halo_overflow": over,
             "halo_escaped": jnp.sum(
                 mask & ((pos[:, axis] < lo - 0.5 * halo_width)
-                        | (pos[:, axis] >= hi + 0.5 * halo_width)))[None],
-            "neighbor_overflow": aux["neighbor_overflow"][None],
+                        | (pos[:, axis] >= hi + 0.5 * halo_width))),
+            "neighbor_overflow": aux["neighbor_overflow"],
             "pair_overflow": jnp.asarray(
-                aux.get("pair_overflow", -(2 ** 30)), jnp.int32)[None],
+                aux.get("pair_overflow", -(2 ** 30)), jnp.int32),
             # per-shard dilated voxel counts: every single-device occupied
             # voxel must be counted by at least its owning shard (grids are
             # anchored at the psum'd global center), so per scale
             # sum_over_shards >= single-device count — a structural
             # exactness witness independent of output tolerances
-            "scale_counts": aux["scale_counts"][None],
+            "scale_counts": aux["scale_counts"],
         }
-        return p2[None, :fcap], v2[None, :fcap], out_aux
+        return p2[:fcap], v2[:fcap], out_aux
+
+    def body(params, pos, mask, payload, bounds,
+             bpos, bnrm, bmask, bown):
+        p2, v2, out_aux = step_core(
+            params, pos[0], mask[0], payload[0],
+            bounds[0, 0], bounds[0, 1],
+            bpos[0], bnrm[0], bmask[0], bown[0])
+        out_aux = {k: v[None] for k, v in out_aux.items()}
+        return p2[None], v2[None], out_aux
 
     from jax import shard_map
 
@@ -269,6 +280,69 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
             "scale_counts": aux["scale_counts"],  # [D, n_scales]
         })
 
+    # --- multi-step rollout: the same step scanned in shard form ---
+    # Ownership is slot-stable inside a chunk (owned rows stay in their
+    # shard slots; drift degrades halo coverage and is DETECTED via the
+    # per-step halo_escaped max) — the host driver (halo_rollout_host)
+    # re-partitions between chunks when any step escaped.
+    def roll_body(length, params, pos, mask, payload, bounds,
+                  bpos, bnrm, bmask, bown):
+        pos, mask, payload = pos[0], mask[0], payload[0]
+        bp, bn, bm, bo = bpos[0], bnrm[0], bmask[0], bown[0]
+        lo, hi = bounds[0, 0], bounds[0, 1]
+
+        def sbody(carry, _):
+            p, pay = carry
+            p2, v2, aux = step_core(params, p, mask, pay, lo, hi,
+                                    bp, bn, bm, bo)
+            pay2 = jnp.concatenate([v2, pay[:, 3:]], -1)
+            return (p2, pay2), (p2, aux)
+
+        (pf, payf), (traj, auxs) = jax.lax.scan(
+            sbody, (pos, payload), None, length=length)
+        red = {
+            "halo_overflow": jnp.sum(auxs["halo_overflow"]),
+            "halo_escaped": jnp.max(auxs["halo_escaped"]),
+            "neighbor_overflow": jnp.max(auxs["neighbor_overflow"]),
+            "pair_overflow": jnp.max(auxs["pair_overflow"]),
+        }
+        red = {k: v[None] for k, v in red.items()}
+        return (traj[None], pf[None], payf[None], red)
+
+    _roll_cache = {}
+
+    def _get_roll_fn(length):
+        if length not in _roll_cache:
+            import functools
+            _roll_cache[length] = shard_map(
+                functools.partial(roll_body, length), mesh=mesh,
+                in_specs=(repl, sharded, sharded, sharded, sharded,
+                          sharded, sharded, sharded, sharded),
+                out_specs=(sharded, sharded, sharded,
+                           {"halo_overflow": sharded,
+                            "halo_escaped": sharded,
+                            "neighbor_overflow": sharded,
+                            "pair_overflow": sharded}),
+                check_vma=False)
+        return _roll_cache[length]
+
+    def run_rollout(params, parts, length):
+        """Scan ``length`` steps in shard form.  Returns
+        (traj [length, D*fcap, 3] shard order, new_parts, aux) where
+        new_parts reuses parts' static arrays with the final pos/payload
+        (chainable into the next chunk or a host re-partition)."""
+        traj, pf, payf, aux = _get_roll_fn(int(length))(
+            params, parts["pos"], parts["mask"], parts["payload"],
+            parts["bounds"], parts["box"], parts["box_normals"],
+            parts["box_mask"], parts["box_owned"])
+        n_dev, L = traj.shape[0], traj.shape[1]
+        traj = jnp.swapaxes(traj, 0, 1).reshape(L, -1, 3)
+        new_parts = dict(parts, pos=pf, payload=payf)
+        return traj, new_parts, {k: (jnp.sum(v) if k == "halo_overflow"
+                                     else jnp.max(v))
+                                 for k, v in aux.items()}
+
+    run.rollout = run_rollout
     return run
 
 
@@ -279,3 +353,102 @@ def gather_owned(parts, arr, n_total):
     out = np.zeros((n_total,) + arr.shape[1:], np.asarray(arr).dtype)
     out[src[mask]] = np.asarray(arr)[mask]
     return out
+
+
+def halo_rollout_host(model, mesh, params, sample, n_steps, *,
+                      chunk=10, halo_width=None, halo_cap=None,
+                      safety=1.5, axis=None, bcap_round=1024, log=None):
+    """Multi-step slab-decomposed rollout with host-side re-partition.
+
+    The rollout runs in ``chunk``-step compiled scans on the mesh; between
+    chunks the per-step ``halo_escaped`` max is checked and, if any owned
+    particle drifted past half the halo margin, the final state is gathered
+    to the host and re-partitioned into fresh equal-count slabs (the TPU
+    equivalent of the reference redistributing particles across ranks).
+    Exactness within a chunk holds while drift stays inside the halo
+    slack — ``halo_width`` defaults to ``safety`` x the one-step receptive
+    field, so ~``(safety-1)*rf / (v_max*dt)`` steps are provably covered;
+    pick ``chunk`` below that and the detector enforces it.
+
+    Returns ``(traj [n_steps, N, 3] input order, report dict)``.  N is the
+    sample's fluid capacity; rows outside ``sample['fluid_mask']`` hold
+    zeros.  Inflow is not supported here (fixed ownership per chunk).
+
+    Reference scope: this is the no-crop large-scene path — each shard
+    holds only its boundary slice, so scenes whose FULL boundary exceeds
+    one chip's HBM (canyon: 185k rows, run_sample.py:138-177 in the
+    reference) run undropped across the mesh.
+    """
+    rf = receptive_field(model)
+    if halo_width is None:
+        halo_width = safety * rf
+    n_dev = mesh.devices.size
+    n_total = int(np.asarray(sample["pos"]).shape[0])
+    if axis is None:
+        # pin the slab axis up front (largest fluid extent): re-partitions
+        # must keep the axis the compiled step was built for
+        p0 = np.asarray(sample["pos"])
+        m0 = np.asarray(sample["fluid_mask"]).astype(bool)
+        ext = p0[m0].max(0) - p0[m0].min(0) if m0.any() else np.ones(3)
+        axis = int(np.argmax(ext))
+
+    def partition(smp):
+        parts = partition_model_sample(smp, n_dev, halo_width, axis=axis,
+                                       bcap_round=bcap_round)
+        return shard_model_parts(parts, mesh)
+
+    parts = partition(sample)
+    if halo_cap is None:
+        # size the exchange buffer from the initial halo-zone occupancy
+        # with 2x headroom; overflow is detected per chunk
+        pos = np.asarray(parts["pos"])
+        msk = np.asarray(parts["mask"])
+        bounds = np.asarray(parts["bounds"])
+        occ = 1
+        for d in range(n_dev):
+            lo, hi = bounds[d]
+            c, m = pos[d, :, axis], msk[d]
+            if np.isfinite(hi):
+                occ = max(occ, int(np.sum(m & (c >= hi - halo_width))))
+            if np.isfinite(lo):
+                occ = max(occ, int(np.sum(m & (c <= lo + halo_width))))
+        halo_cap = int(-(-max(2 * occ, 16) // 16) * 16)
+
+    step = make_halo_model_step(model, mesh, halo_width=halo_width,
+                                halo_cap=halo_cap, axis=axis)
+    grav = np.asarray(sample["grav"])
+
+    frames = []
+    report = {"halo_cap": halo_cap, "halo_width": float(halo_width),
+              "repartitions": 0, "halo_overflow": 0, "halo_escaped_max": 0,
+              "neighbor_overflow": 0, "pair_overflow": -(2 ** 30)}
+    done = 0
+    while done < n_steps:
+        length = min(chunk, n_steps - done)
+        traj, parts, aux = step.rollout(params, parts, length)
+        traj = np.asarray(traj)
+        esc = int(aux["halo_escaped"])
+        report["halo_overflow"] += int(aux["halo_overflow"])
+        report["halo_escaped_max"] = max(report["halo_escaped_max"], esc)
+        report["neighbor_overflow"] = max(report["neighbor_overflow"],
+                                          int(aux["neighbor_overflow"]))
+        report["pair_overflow"] = max(report["pair_overflow"],
+                                      int(aux["pair_overflow"]))
+        for i in range(length):
+            frames.append(gather_owned(parts, traj[i], n_total))
+        done += length
+        if esc > 0 and done < n_steps:
+            # drift past half the halo margin: gather the final state and
+            # cut fresh equal-count slabs before the next chunk
+            p_f = gather_owned(parts, np.asarray(parts["pos"]).reshape(-1, 3),
+                               n_total)
+            v_f = gather_owned(
+                parts, np.asarray(parts["payload"]).reshape(
+                    -1, parts["payload"].shape[-1])[:, :3], n_total)
+            smp = dict(sample, pos=p_f, vel=v_f, grav=grav)
+            parts = partition(smp)
+            report["repartitions"] += 1
+            if log is not None:
+                log(f"halo re-partition at step {done} "
+                    f"(escaped={esc})")
+    return np.stack(frames, 0), report

@@ -66,6 +66,22 @@ def parse_args():
                         help="override model.neighbor_k (under compression "
                              "the true in-radius count can exceed the "
                              "config budget; overflow is reported per run)")
+    parser.add_argument("--spatial", default="none",
+                        choices=["none", "halo"],
+                        help="'halo': slab-decompose the scene over ALL "
+                             "devices (parallel/halo_model) — each shard "
+                             "holds 1/D of the fluid plus its boundary "
+                             "slice, so the FULL boundary runs uncropped; "
+                             "re-partitions host-side when particles "
+                             "drift (incompatible with --inflow / "
+                             "--boundary_crop_max)")
+    parser.add_argument("--halo_width", type=float, default=0.0,
+                        help="halo-zone width (0 = 1.5x the model's "
+                             "one-step receptive field)")
+    parser.add_argument("--override", action="append", default=[],
+                        help="model-config override key=yaml_value "
+                             "(repeatable), e.g. "
+                             "--override 'neighbor_k_pairs=[[96,...]]'")
     return parser.parse_known_args()[0]
 
 
@@ -91,6 +107,9 @@ def main():
         cfg["model"]["boundary_crop_max"] = args.boundary_crop_max
     if args.neighbor_k:
         cfg["model"]["neighbor_k"] = args.neighbor_k
+    for ov in args.override:
+        key, val = ov.split("=", 1)
+        cfg["model"][key] = yaml.safe_load(val)
     model = build_model(cfg["model"])
 
     data = read_msgpack_zst(args.data_path)
@@ -163,6 +182,46 @@ def main():
         print("No checkpoint given: using random init")
         params = jax.jit(lambda k, s: model.init(k, s, training=False))(
             jax.random.PRNGKey(0), sample)
+
+    if args.spatial == "halo":
+        # slab-decomposed rollout over the device mesh: full boundary, no
+        # crop, host-side re-partition on drift (parallel/halo_model.py)
+        assert not args.inflow, "--spatial halo does not support --inflow"
+        assert not args.boundary_crop_max, \
+            "--spatial halo replaces the boundary crop (full boundary)"
+        from dmcf_tpu.parallel.halo_model import halo_rollout_host
+        from dmcf_tpu.parallel.spatial import make_spatial_mesh
+        mesh = make_spatial_mesh(jax.devices())
+        n_steps = max(timesteps - 1, 1)
+        t0 = time.time()
+        frames, report = halo_rollout_host(
+            model, mesh, params, sample, n_steps,
+            chunk=args.chunk or 10,
+            halo_width=args.halo_width or None,
+            log=print)
+        total = time.time() - t0
+        print("Average runtime: %.05f s/step (incl. compile; %d steps, "
+              "%d devices)" % (total / n_steps, n_steps,
+                               mesh.devices.size))
+        print("halo report:", {k: v for k, v in report.items()})
+        if report["halo_overflow"] > 0:
+            print("HALO OVERFLOW: exchange buffer too small — results "
+                  "dropped boundary-zone particles; raise halo_cap")
+        if report["pair_overflow"] > 0:
+            print(f"pair-search overflow: worst true count exceeded its "
+                  f"pair K budget by {report['pair_overflow']}")
+        out = np.ones((timesteps, capacity, 3), np.float32) * 1000.0
+        out[0, :n0] = pos0
+        out[1:, fmask] = frames[:, fmask]
+        out_dir = os.path.join(args.output_dir, "example", "0000")
+        os.makedirs(out_dir, exist_ok=True)
+        write_results(os.path.join(out_dir, "0000.hdf5"),
+                      type(model).__name__,
+                      [(out, {"name": "pred", "type": "PARTICLE"}),
+                       (box, {"name": "bnd", "type": "PARTICLE"})])
+        print("wrote", os.path.join(out_dir, "0000.hdf5"))
+        sys.stdout.flush()
+        os._exit(0)
 
     inflow_steps = int(args.inflow)
     block_pos = jnp.asarray(pos0)
