@@ -267,6 +267,43 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
                     "pair_overflow": sharded, "scale_counts": sharded}),
         check_vma=False)
 
+    # --- differentiable scalar loss over owned rows (training path) ---
+    # The loss lives INSIDE the shard_map (psum'd to a replicated scalar),
+    # so jax.grad of the wrapper differentiates through the collectives:
+    # ppermute's transpose routes halo-row cotangents back to the owning
+    # shard, the centroid psum's transpose broadcasts, and the replicated
+    # params' in_spec P() makes shard_map psum the per-shard param grads —
+    # exactly the DP-over-slabs reduction, with no hand-written backward.
+    def loss_body(params, target, w_pos, w_vel, pos, mask, payload, bounds,
+                  bpos, bnrm, bmask, bown):
+        p2, v2, _ = step_core(params, pos[0], mask[0], payload[0],
+                              bounds[0, 0], bounds[0, 1],
+                              bpos[0], bnrm[0], bmask[0], bown[0])
+        m = mask[0][:, None]
+        tgt = target[0]
+        err = (w_pos * jnp.sum(jnp.where(m, (p2 - tgt[:, 0]) ** 2, 0.0))
+               + w_vel * jnp.sum(jnp.where(m, (v2 - tgt[:, 1]) ** 2, 0.0)))
+        err = jax.lax.psum(err, axis_name)
+        cnt = jax.lax.psum(jnp.sum(mask[0]), axis_name)
+        return err / jnp.maximum(cnt, 1)
+
+    loss_fn = shard_map(
+        loss_body, mesh=mesh,
+        in_specs=(repl, sharded, repl, repl, sharded, sharded, sharded,
+                  sharded, sharded, sharded, sharded, sharded),
+        out_specs=repl, check_vma=False)
+
+    def loss(params, parts, target, *, w_pos=1.0, w_vel=0.0):
+        """Masked MSE of the owned one-step prediction vs ``target``
+        ([D, fcap, 2, 3] shard order: target pos ++ target vel), mean over
+        owned rows across ALL shards.  Differentiable: use
+        ``jax.value_and_grad(step.loss)(params, parts, target)``."""
+        return loss_fn(params, target, jnp.asarray(w_pos, jnp.float32),
+                       jnp.asarray(w_vel, jnp.float32),
+                       parts["pos"], parts["mask"], parts["payload"],
+                       parts["bounds"], parts["box"], parts["box_normals"],
+                       parts["box_mask"], parts["box_owned"])
+
     def run(params, parts):
         p, v, aux = fn(params, parts["pos"], parts["mask"],
                        parts["payload"], parts["bounds"],
@@ -343,6 +380,7 @@ def make_halo_model_step(model, mesh, *, halo_width, halo_cap,
                                  for k, v in aux.items()}
 
     run.rollout = run_rollout
+    run.loss = loss
     return run
 
 
