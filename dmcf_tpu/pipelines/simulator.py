@@ -809,6 +809,20 @@ class Simulator(BasePipeline):
                 self.run_test(epoch)
 
         train_loader.close()
+        self._log_peak_hbm()
+
+    def _log_peak_hbm(self):
+        """Record the device's peak memory if the backend exposes it
+        (TPU does; CPU returns None) — the number the window-curriculum
+        memory proofs in REPORT_QUALITY cite."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+        except Exception:  # pragma: no cover - backend-dependent
+            stats = None
+        if stats and "peak_bytes_in_use" in stats:
+            peak = int(stats["peak_bytes_in_use"])
+            log.info("peak HBM in use: {:.2f} GiB", peak / 2 ** 30)
+            self.writer.scalar("train/peak_hbm_gib", peak / 2 ** 30, 0)
 
     def _init_params_from_rollout(self, data, bucket=64):
         """Init parameter + optimizer-state templates from a rollout

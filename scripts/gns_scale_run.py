@@ -168,11 +168,13 @@ def main():
             metrics += [json.loads(line) for line in f]
     lat = [m["value"] for m in metrics if m["tag"] == "DataLatency"]
     losses = [m["value"] for m in metrics if m["tag"] == "train/loss"]
+    hbm = [m["value"] for m in metrics if m["tag"] == "train/peak_hbm_gib"]
     per_step = wall / max(args.iters, 1)
     print(json.dumps({
         "iters": args.iters, "batch": args.batch,
         "window": args.window, "workers": args.workers,
         "wall_s": round(wall, 1),
+        "peak_hbm_gib": round(hbm[-1], 2) if hbm else None,
         "wall_per_step_ms": round(1000 * per_step, 1),
         "data_latency_ms": [round(1000 * v, 2) for v in lat],
         "final_loss": losses[-1] if losses else None,
