@@ -68,7 +68,28 @@ def build_scene(n_fluid=2304, spacing=0.01, seed=0):
     return pos.astype(np.float32), box, nrm
 
 
-def bench_canyon(canyon_path, steps=5, crop=32768):
+# Canyon right-sizing (round 5, measured ladder — scripts/canyon_stats.py
+# + scripts/trace_canyon.py on TPU v5e):
+#   r4 shipped config (crop 32768):                     3306 ms/step exact
+#   crop 8192 (in-contact boundary is 6403; the crop keeps ALL of it and
+#   the count is verified each timed step) + scale capacities re-sized to
+#   dilated-voxel occupancy:                            1106 ms/step exact
+#   per-pair K budgets re-sized to 5-step dynamic maxima (measured via
+#   aux['pair_overflow_detail']) x ~1.2 headroom, K-chunk scan off (the
+#   [Q,K,S] transients fit at this scale):               922 ms/step exact
+# The shipped YAML keeps the larger crop-65536 budgets (the inflow demo's
+# regime, where fluid grows 20x and contact spreads); these overrides are
+# the bench scene's own measured-exact sizing and are recorded in the
+# result JSON.
+CANYON_OVERRIDES = {
+    "scale_size_factor": [1.0, 1.35, 0.42],
+    "neighbor_k_pairs": [[96, 288, 1408], [288, 288, 1312],
+                         [320, 320, 288]],
+    "conv_k_chunk": 0,
+}
+
+
+def bench_canyon(canyon_path, steps=5, crop=8192):
     """Steady-state ms/step of the canyon scene (1280-fluid block, 185k
     boundary, contact crop) — the reference's own large-scene demo
     protocol at Liquid3d regime."""
@@ -83,6 +104,7 @@ def bench_canyon(canyon_path, steps=5, crop=32768):
     cfg = yaml.safe_load(open(os.path.join(
         os.path.dirname(__file__) or ".", "configs/Liquid3d.yml")))["model"]
     cfg["boundary_crop_max"] = crop
+    cfg.update(CANYON_OVERRIDES)
     model = build_model(cfg)
 
     frame0 = read_msgpack_zst(canyon_path)[0]
@@ -114,22 +136,24 @@ def bench_canyon(canyon_path, steps=5, crop=32768):
 
     def rollout(params, s0, length):
         def body(carry, _):
-            p_, v_, mx, po = carry
+            p_, v_, mx, po, bcc = carry
             s = dict(s0)
             s["pos"], s["vel"] = p_, v_
             p2, v2, aux = model.apply(params, s, training=False)
             mx = jnp.maximum(mx, aux["neighbor_overflow"])
             po = jnp.maximum(po, aux.get("pair_overflow", po))
-            return (p2, v2, mx, po), ()
+            bcc = jnp.maximum(bcc, aux.get("boundary_crop_count", bcc))
+            return (p2, v2, mx, po, bcc), ()
         carry, _ = jax.lax.scan(
             body, (s0["pos"], s0["vel"], jnp.asarray(0, jnp.int32),
-                   jnp.asarray(-(2 ** 30), jnp.int32)), None, length=length)
+                   jnp.asarray(-(2 ** 30), jnp.int32),
+                   jnp.asarray(0, jnp.int32)), None, length=length)
         return carry
     roll = jax.jit(rollout, static_argnames=("length",))
-    p, v, mx, po = roll(params, sample, steps)
+    p, v, mx, po, bcc = roll(params, sample, steps)
     np.asarray(p[:1])  # sync (compile + warm-up)
     t0 = time.time()
-    p, v, mx, po = roll(params, sample, steps)
+    p, v, mx, po, bcc = roll(params, sample, steps)
     np.asarray(p[:1])
     dt = time.time() - t0
     return {
@@ -138,6 +162,11 @@ def bench_canyon(canyon_path, steps=5, crop=32768):
         "n_fluid": int(n0),
         "n_boundary": int(box.shape[0]),
         "boundary_crop": crop,
+        # in-contact boundary count (max over the timed steps): must stay
+        # <= crop or the contact crop itself dropped coupled boundary —
+        # folded into the exactness gate below
+        "boundary_contact_count": int(bcc),
+        "overrides": CANYON_OVERRIDES,
         "finite": bool(jnp.all(jnp.isfinite(
             p[np.asarray(sample["fluid_mask"])]))),
         # exactness badge: no conv dropped an in-radius neighbor anywhere
@@ -281,7 +310,9 @@ def main():
     if isinstance(canyon, dict) and "error" not in canyon:
         exact = exact and int(canyon.get("pair_overflow", 0)) <= 0 \
             and int(canyon.get("max_neighbors", 0)) <= \
-            int(canyon.get("neighbor_k", 1 << 30))
+            int(canyon.get("neighbor_k", 1 << 30)) \
+            and int(canyon.get("boundary_contact_count", 0)) <= \
+            int(canyon.get("boundary_crop", 1 << 30))
     result = {
         "metric": "WaterRamps_SymNet_rollout_steps_per_sec",
         "value": round(steps_per_sec, 2),
