@@ -206,7 +206,12 @@ class ContinuousConv(nn.Module):
 
             init = jnp.zeros((neighbors.idx.shape[0], self.filters),
                              inp_features.dtype)
-            out, _ = jax.lax.scan(body, init, chunks)
+            # remat each chunk: without it, reverse-mode AD stacks every
+            # chunk's gathered-feature/tap residuals [nc, Q, kc, ...] across
+            # the scan — the exact transient k_chunk exists to bound
+            # (measured: batch-16 window-3 BPTT wanted 184 GB with plain
+            # scan; chunk bodies recompute in the backward instead)
+            out, _ = jax.lax.scan(jax.checkpoint(body), init, chunks)
         else:
             out = continuous_conv(
                 kernel, out_positions, inp_positions, inp_features,

@@ -535,7 +535,8 @@ class Simulator(BasePipeline):
             self.model, self.loss_fns, self.optimizer, window=window,
             its=its, max_err=max_err, max_dens_err=max_dens_err,
             w_decay=float(self.cfg.get("w_decay", 0) or 0),
-            grad_norm=float(self.cfg.get("grad_clip_norm", -1) or -1))
+            grad_norm=float(self.cfg.get("grad_clip_norm", -1) or -1),
+            grad_accum=int(self.cfg.get("grad_accum", 1) or 1))
 
     def _train_step_for(self, batch, window, its, max_err, max_dens_err):
         shape_key = ("train", batch["pos"].shape, batch["box"].shape,
@@ -863,7 +864,7 @@ class Simulator(BasePipeline):
 
 def make_train_step(model, loss_fns, optimizer, *, window, its=0,
                     max_err=None, max_dens_err=None, w_decay=0.0,
-                    grad_norm=-1.0):
+                    grad_norm=-1.0, grad_accum=1):
     """Build the jitted BPTT train step (standalone; used by the pipeline,
     the benchmark harness, and the multi-chip dry run).
 
@@ -1026,6 +1027,71 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
         return (jnp.sum(lvecs, axis=0),
                 (jnp.max(max_nbr), jnp.max(pair_over), jnp.mean(avg_nbr)))
 
+    def train_step_accum(params, opt_state, batch, time_w):
+        """Micro-batched BPTT step: identical math to ``train_step`` at
+        1/``grad_accum`` the activation footprint.
+
+        The batch is split into ``grad_accum`` groups scanned sequentially;
+        each group's loss is normalized by the FULL-batch denominator so the
+        summed gradients equal the full-batch gradient exactly (the loss is
+        a plain sum over items).  This is the single-chip equivalent of the
+        DP sharding in ``_setup_data_parallel`` — batch-16 x window-20
+        WaterRamps BPTT does not fit one v5e's HBM any other way."""
+        ga = int(grad_accum)
+        B = batch["pos"].shape[0]
+        assert B % ga == 0, f"grad_accum {ga} must divide batch {B}"
+        mb = B // ga
+        groups = jax.tree.map(
+            lambda x: x.reshape(ga, mb, *x.shape[1:]), batch)
+
+        # warm-up per group (lax.map is sequential: bounds the forward
+        # transients the same way the grad scan bounds the residuals)
+        def warm_group(items):
+            return jax.vmap(lambda item: warmup(params, item))(items)
+
+        pos0, vel0, pre_eff = jax.lax.map(warm_group, groups)
+        pos0 = jax.lax.stop_gradient(pos0)
+        vel0 = jax.lax.stop_gradient(vel0)
+
+        denom = jnp.sum(time_w) * B
+
+        def group_loss(params, items, p0, v0, pe):
+            lvecs, (max_nbr, pair_over, avg_nbr) = jax.vmap(
+                lambda item, a, b, c: per_item(params, item, a, b, c,
+                                               time_w))(items, p0, v0, pe)
+            lvec = jnp.sum(lvecs, axis=0) / denom
+            stats = (jnp.max(max_nbr), jnp.max(pair_over),
+                     jnp.mean(avg_nbr))
+            return jnp.sum(lvec), (lvec, stats)
+
+        def acc_body(carry, xs):
+            gacc, lacc, mx0, po0, av0 = carry
+            items, p0, v0, pe = xs
+            (_, (lvec, (mx, po, av))), g = jax.value_and_grad(
+                group_loss, has_aux=True)(params, items, p0, v0, pe)
+            carry = (jax.tree.map(jnp.add, gacc, g), lacc + lvec,
+                     jnp.maximum(mx0, mx), jnp.maximum(po0, po), av0 + av)
+            return carry, None
+
+        init = (jax.tree.map(jnp.zeros_like, params),
+                jnp.zeros((len(loss_keys),), jnp.float32),
+                jnp.float32(-jnp.inf), jnp.float32(-jnp.inf),
+                jnp.float32(0.0))
+        (grads, lvec, mx, po, av), _ = jax.lax.scan(
+            acc_body, init, (groups, pos0, vel0, pre_eff))
+        if w_decay > 0:
+            grads = jax.tree.map(lambda g, p: g + 2.0 * w_decay * p,
+                                 grads, params)
+        if grad_norm > 0:
+            grads = jax.tree.map(
+                lambda g: _clip_by_norm(g, grad_norm), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        stats = {"max_neighbors": mx, "pair_overflow": po,
+                 "avg_neighbors": av / ga}
+        return (params, opt_state, lvec,
+                pre_eff.reshape(B, *pre_eff.shape[2:]), stats)
+
     def train_step(params, opt_state, batch, time_w):
         # warm-up self-rollout outside the differentiated region
         # (reference runs it before the GradientTape,
@@ -1062,4 +1128,5 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
 
     # donate params/opt_state: the update happens "in place", halving the
     # peak footprint of the optimizer step
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    fn = train_step_accum if int(grad_accum) > 1 else train_step
+    return jax.jit(fn, donate_argnums=(0, 1))

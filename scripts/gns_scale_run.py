@@ -87,6 +87,17 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--window", type=int, default=3)
     ap.add_argument("--device", default="tpu")
+    ap.add_argument("--k_chunk", type=int, default=0,
+                    help="model.conv_k_chunk override: scan K-list convs "
+                         "in this many-neighbor slices, bounding the "
+                         "[B,Q,K,S] tap transients (needed on one chip "
+                         "past window 3 at batch 16)")
+    ap.add_argument("--dense_n_chunk", type=int, default=None,
+                    help="model.dense_n_chunk override")
+    ap.add_argument("--grad_accum", type=int, default=0,
+                    help="pipeline.grad_accum: split the batch into this "
+                         "many sequential micro-batches (same math, "
+                         "1/G the activation HBM)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the work dir (print its path)")
     args = ap.parse_args()
@@ -152,6 +163,19 @@ def main():
         "--pipeline.window_bnds", "[]",
         "--pipeline.data_generator.train.num_workers", str(args.workers),
     ]
+    if args.k_chunk:
+        # K-chunking only applies to convs that build taps inline
+        # (models/layers.py: the chunk scan is skipped when a shared tap
+        # tensor is passed), and the cached [Q,K,S] tap tensors are what
+        # OOM a batch-16 vmapped BPTT step in the first place (measured:
+        # 56.9 GB requested, dominated by f32[16,8640,40,64] pair_taps) —
+        # so force every conv to the inline-fused form as well
+        cmd += ["--model.conv_k_chunk", str(args.k_chunk),
+                "--model.tap_cache_max_elems", "1"]
+    if args.dense_n_chunk is not None:
+        cmd += ["--model.dense_n_chunk", str(args.dense_n_chunk)]
+    if args.grad_accum:
+        cmd += ["--pipeline.grad_accum", str(args.grad_accum)]
     print("running:", " ".join(cmd))
     t0 = time.time()
     r = subprocess.run(cmd, cwd=os.path.join(os.path.dirname(__file__),

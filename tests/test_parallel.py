@@ -120,6 +120,65 @@ class TestDataParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=2e-5)
 
+    def test_grad_accum_matches_full_batch(self, model_and_sample):
+        """grad_accum=G must be the identity transform on the training
+        math: the loss is a sum over items, each micro-batch is normalized
+        by the full-batch denominator, so summed micro-grads equal the
+        full-batch gradient (the single-chip analog of DP sharding)."""
+        import optax
+        from dmcf_tpu.models.losses import get_loss
+        from dmcf_tpu.pipelines.simulator import make_train_step
+
+        model, sample, _params_maybe_donated = model_and_sample
+        # the DP test above donates the fixture's params into its train
+        # step (deleting the buffers); re-init a private copy
+        params = jax.jit(
+            lambda k2, s: model.init(k2, s, training=False))(
+            jax.random.PRNGKey(7), sample)
+        loss_fns = {"weighted_mse": get_loss("weighted_mse", fac=1.0,
+                                             gamma=0.5,
+                                             neighbor_scale=0.0625)}
+        optimizer = optax.adam(1e-3)
+        window = 2
+        t_total = window + 1
+        b = 8
+        rng = np.random.RandomState(3)
+        batch = {}
+        for key in ("pos", "vel", "grav"):
+            base = jnp.repeat(sample[key][None], t_total, 0)
+            # de-correlate the items so the test can't pass by symmetry
+            jit = jnp.asarray(rng.uniform(-1e-3, 1e-3,
+                                          (b, 1, base.shape[1], 1)),
+                              jnp.float32)
+            reps = jnp.stack([base] * b)
+            batch[key] = reps + jit if key == "pos" else reps
+        for key in ("box", "box_normals", "fluid_mask", "box_mask"):
+            batch[key] = jnp.stack([sample[key]] * b)
+        batch["pre"] = jnp.zeros((b,), jnp.int32)
+        time_w = jnp.ones((window,), jnp.float32)
+
+        kw = dict(window=window, w_decay=1e-4, grad_norm=1.0)
+        step_full = make_train_step(model, loss_fns, optimizer, **kw)
+        step_acc = make_train_step(model, loss_fns, optimizer,
+                                   grad_accum=4, **kw)
+
+        opt_state = optimizer.init(params)
+        params2 = jax.tree.map(jnp.copy, params)
+        opt2 = optimizer.init(params2)
+
+        p1, _, lvec1, pre1, st1 = step_full(params, opt_state, batch,
+                                            time_w)
+        p2, _, lvec2, pre2, st2 = step_acc(params2, opt2, batch, time_w)
+
+        np.testing.assert_allclose(np.asarray(lvec2), np.asarray(lvec1),
+                                   rtol=2e-4)
+        assert pre2.shape == pre1.shape
+        np.testing.assert_allclose(float(st2["max_neighbors"]),
+                                   float(st1["max_neighbors"]))
+        for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=2e-5)
+
 
 class TestSpatialWorkingSet:
     def test_per_device_compute_and_memory_shrink(self):
