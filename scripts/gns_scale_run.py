@@ -162,6 +162,10 @@ def main():
         "--pipeline.windows", f"[{args.window}]",
         "--pipeline.window_bnds", "[]",
         "--pipeline.data_generator.train.num_workers", str(args.workers),
+        # flush telemetry every 10 steps: the default (1000) keeps the
+        # whole run's dispatches queued with zero output, which is
+        # indistinguishable from a wedged device from the outside
+        "--pipeline.log_flush_steps", "10",
     ]
     if args.k_chunk:
         # K-chunking only applies to convs that build taps inline

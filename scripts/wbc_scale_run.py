@@ -109,6 +109,7 @@ def synthesize_flume(rng, t_frames, dam_h=0.25, pool_d=0.05,
     frames = np.empty((t_frames, n, 2), np.float32)
     g = np.asarray([0.0, -9.81], np.float32)
     rest = 0.95 * H
+    settled = 0
     for t in range(t_frames):
         frames[t] = pos
         # PBD step: predict, project constraints, derive velocity from
@@ -132,8 +133,24 @@ def synthesize_flume(rng, t_frames, dam_h=0.25, pool_d=0.05,
             pos[:, 0] = np.clip(pos[:, 0], 0.0, DOMAIN_X)
             pos[:, 1] = np.minimum(
                 np.maximum(pos[:, 1], terrain_y(pos[:, 0])), WALL_Y)
+            if not len(pairs) or float(np.abs(push).max()) < 1e-3 * H:
+                break
         vel = ((pos - prev) / DT * 0.995).astype(np.float32)
         pos = pos.astype(np.float32)
+        # settle early-exit: once the pool is at rest (long horizons spend
+        # most frames there, and the late-time Jacobi passes dominate the
+        # synthesis cost), freeze the trajectory — physically the settled
+        # state IS the remaining ground truth
+        if float(np.abs(pos - prev).max()) < 0.02 * H:
+            settled += 1
+            if settled >= 20:
+                frames[t + 1:] = pos
+                if report_every:
+                    print(f"  settled at frame {t}, froze the remaining "
+                          f"{t_frames - t - 1}", flush=True)
+                break
+        else:
+            settled = 0
         if report_every and t % report_every == 0:
             print(f"  synth frame {t}/{t_frames}", flush=True)
     return frames
@@ -186,11 +203,14 @@ def main():
     rng = np.random.RandomState(7)
     box, box_nor = make_boundary()
 
-    if not os.path.exists(os.path.join(data, "test")):
-        t0 = time.time()
-        for sub in ("train", "valid", "test"):
-            os.makedirs(os.path.join(data, sub), exist_ok=True)
-        n_fluid = None
+    def split_done(sub):
+        return glob.glob(os.path.join(data, sub, "*.msgpack.zst"))
+
+    t0 = time.time()
+    for sub in ("train", "valid", "test"):
+        os.makedirs(os.path.join(data, sub), exist_ok=True)
+    n_fluid = None
+    if not split_done("train"):
         for si in range(args.train_scenes):
             fr = synthesize_flume(rng, args.train_frames,
                                   dam_h=0.2 + 0.05 * si)
@@ -198,9 +218,11 @@ def main():
             write_scene(os.path.join(data, "train",
                                      f"sim_{si:04d}_%02d.msgpack.zst"),
                         fr, box, box_nor)
+    if not split_done("valid"):
         fr = synthesize_flume(rng, 300, dam_h=0.22)
         write_scene(os.path.join(data, "valid", "sim_0000_%02d.msgpack.zst"),
                     fr, box, box_nor)
+    if not split_done("test"):
         fr = synthesize_flume(rng, args.rollout + 1, dam_h=0.25,
                               report_every=500)
         write_scene(os.path.join(data, "test", "sim_0000_%02d.msgpack.zst"),
