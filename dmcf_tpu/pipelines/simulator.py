@@ -536,7 +536,8 @@ class Simulator(BasePipeline):
             its=its, max_err=max_err, max_dens_err=max_dens_err,
             w_decay=float(self.cfg.get("w_decay", 0) or 0),
             grad_norm=float(self.cfg.get("grad_clip_norm", -1) or -1),
-            grad_accum=int(self.cfg.get("grad_accum", 1) or 1))
+            grad_accum=int(self.cfg.get("grad_accum", 1) or 1),
+            host_accum=bool(self.cfg.get("grad_accum_host", False)))
 
     def _train_step_for(self, batch, window, its, max_err, max_dens_err):
         shape_key = ("train", batch["pos"].shape, batch["box"].shape,
@@ -591,13 +592,22 @@ class Simulator(BasePipeline):
 
     def _device_batch(self, batch):
         out = {}
+        host = bool(self.cfg.get("grad_accum_host", False)) and \
+            int(self.cfg.get("grad_accum", 1) or 1) > 1
         for k, v in batch.items():
             if v is None:
                 continue
-            out[k] = jnp.asarray(v)
+            # grad_accum_host: keep the batch on host — the step callable
+            # uploads one micro-batch per device execution itself (host
+            # slices are views; uploads are cheap and don't serialize)
+            out[k] = v if host else jnp.asarray(v)
         if "grav" not in batch or batch["grav"] is None:
             out.pop("grav", None)
         if getattr(self, "mesh", None) is not None:
+            if host:
+                raise ValueError(
+                    "grad_accum_host is a single-device mode; disable "
+                    "data_parallel or grad_accum_host")
             from ..parallel import shard_batch
             out = shard_batch(out, self.mesh)
         return out
@@ -864,7 +874,7 @@ class Simulator(BasePipeline):
 
 def make_train_step(model, loss_fns, optimizer, *, window, its=0,
                     max_err=None, max_dens_err=None, w_decay=0.0,
-                    grad_norm=-1.0, grad_accum=1):
+                    grad_norm=-1.0, grad_accum=1, host_accum=False):
     """Build the jitted BPTT train step (standalone; used by the pipeline,
     the benchmark harness, and the multi-chip dry run).
 
@@ -1079,12 +1089,7 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
                 jnp.float32(0.0))
         (grads, lvec, mx, po, av), _ = jax.lax.scan(
             acc_body, init, (groups, pos0, vel0, pre_eff))
-        if w_decay > 0:
-            grads = jax.tree.map(lambda g, p: g + 2.0 * w_decay * p,
-                                 grads, params)
-        if grad_norm > 0:
-            grads = jax.tree.map(
-                lambda g: _clip_by_norm(g, grad_norm), grads)
+        grads = _finish_grads(params, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         stats = {"max_neighbors": mx, "pair_overflow": po,
@@ -1125,6 +1130,89 @@ def make_train_step(model, loss_fns, optimizer, *, window, its=0,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, lvec, pre_eff, stats
+
+    def _finish_grads(params, grads):
+        if w_decay > 0:
+            grads = jax.tree.map(lambda g, p: g + 2.0 * w_decay * p,
+                                 grads, params)
+        if grad_norm > 0:
+            grads = jax.tree.map(
+                lambda g: _clip_by_norm(g, grad_norm), grads)
+        return grads
+
+    def micro_step(params, items, time_w):
+        """One micro-batch's gradient, normalized by the FULL-batch
+        denominator (see ``train_step_accum``): summing micro grads over
+        ``grad_accum`` calls reproduces the full-batch gradient exactly."""
+        pos0, vel0, pre_eff = jax.vmap(
+            lambda item: warmup(params, item))(items)
+        pos0 = jax.lax.stop_gradient(pos0)
+        vel0 = jax.lax.stop_gradient(vel0)
+        mb = pre_eff.shape[0]
+        denom = jnp.sum(time_w) * (mb * int(grad_accum))
+
+        def loss_fn(params):
+            lvecs, (mx, po, av) = jax.vmap(
+                lambda item, a, b, c: per_item(params, item, a, b, c,
+                                               time_w))(
+                items, pos0, vel0, pre_eff)
+            lvec = jnp.sum(lvecs, axis=0) / denom
+            return jnp.sum(lvec), (lvec, (jnp.max(mx), jnp.max(po),
+                                          jnp.mean(av)))
+
+        (_, (lvec, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return grads, lvec, stats, pre_eff
+
+    def combine(acc, new):
+        g0, l0, m0, p0, a0 = acc
+        g1, l1, m1, p1, a1 = new
+        return (jax.tree.map(jnp.add, g0, g1), l0 + l1,
+                jnp.maximum(m0, m1), jnp.maximum(p0, p1), a0 + a1)
+
+    def apply_grads(params, opt_state, grads):
+        grads = _finish_grads(params, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    if host_accum and int(grad_accum) > 1:
+        # HOST-side accumulation: one device execution per micro-batch.
+        # The in-graph scan (``train_step_accum``) runs the whole batch in
+        # a single device execution, which at batch 16 x window 20 exceeds
+        # the TPU runtime's per-execution walltime (~15-30 s kills the
+        # worker).  Here each micro-batch is its own bounded execution;
+        # grads/telemetry stay ON DEVICE between executions (tiny jitted
+        # combine), so no transfer serializes the dispatch queue, and the
+        # final optimizer update donates params/opt_state as before.
+        micro_jit = jax.jit(micro_step)
+        combine_jit = jax.jit(combine, donate_argnums=(0,))
+        apply_jit = jax.jit(apply_grads, donate_argnums=(0, 1, 2))
+
+        def train_step_host(params, opt_state, batch, time_w):
+            ga = int(grad_accum)
+            B = batch["pos"].shape[0]
+            assert B % ga == 0, f"grad_accum {ga} must divide batch {B}"
+            mb = B // ga
+            acc = None
+            pres = []
+            for gi in range(ga):
+                items = {k2: v[gi * mb:(gi + 1) * mb]
+                         for k2, v in batch.items()}
+                grads, lvec, (mx, po, av), pre_eff = micro_jit(
+                    params, items, time_w)
+                new = (grads, lvec, mx, po, av)
+                acc = new if acc is None else combine_jit(acc, new)
+                pres.append(pre_eff)
+            grads, lvec, mx, po, av = acc
+            params, opt_state = apply_jit(params, opt_state, grads)
+            pre_eff = jnp.concatenate(pres, axis=0)
+            stats = {"max_neighbors": mx, "pair_overflow": po,
+                     "avg_neighbors": av / ga}
+            return params, opt_state, lvec, pre_eff, stats
+
+        train_step_host.host_accum = True
+        return train_step_host
 
     # donate params/opt_state: the update happens "in place", halving the
     # peak footprint of the optimizer step

@@ -98,6 +98,12 @@ def main():
                     help="pipeline.grad_accum: split the batch into this "
                          "many sequential micro-batches (same math, "
                          "1/G the activation HBM)")
+    ap.add_argument("--grad_accum_host", action="store_true",
+                    help="pipeline.grad_accum_host: one device execution "
+                         "per micro-batch (same math again) — keeps long-"
+                         "window steps under the TPU runtime's per-"
+                         "execution walltime, which a single in-graph "
+                         "batch-16 window-20 execution exceeds")
     ap.add_argument("--keep", action="store_true",
                     help="keep the work dir (print its path)")
     args = ap.parse_args()
@@ -180,6 +186,8 @@ def main():
         cmd += ["--model.dense_n_chunk", str(args.dense_n_chunk)]
     if args.grad_accum:
         cmd += ["--pipeline.grad_accum", str(args.grad_accum)]
+    if args.grad_accum_host:
+        cmd += ["--pipeline.grad_accum_host", "True"]
     print("running:", " ".join(cmd))
     t0 = time.time()
     r = subprocess.run(cmd, cwd=os.path.join(os.path.dirname(__file__),

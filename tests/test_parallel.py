@@ -165,6 +165,10 @@ class TestDataParallel:
         opt_state = optimizer.init(params)
         params2 = jax.tree.map(jnp.copy, params)
         opt2 = optimizer.init(params2)
+        # copies for the host-accum leg below (step_full/step_acc donate
+        # their params/opt_state arguments)
+        params3 = jax.tree.map(jnp.copy, params)
+        opt3 = optimizer.init(params3)
 
         p1, _, lvec1, pre1, st1 = step_full(params, opt_state, batch,
                                             time_w)
@@ -176,6 +180,24 @@ class TestDataParallel:
         np.testing.assert_allclose(float(st2["max_neighbors"]),
                                    float(st1["max_neighbors"]))
         for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=2e-5)
+
+        # host-side accumulation (one device execution per micro-batch —
+        # the mode that keeps batch-16 x window-20 under the TPU runtime's
+        # per-execution walltime) must be the same identity transform;
+        # drive it with a HOST (numpy) batch, as the pipeline does
+        step_host = make_train_step(model, loss_fns, optimizer,
+                                    grad_accum=4, host_accum=True, **kw)
+        assert getattr(step_host, "host_accum", False)
+        hbatch = {k2: np.asarray(v) for k2, v in batch.items()}
+        p3, _, lvec3, pre3, st3 = step_host(params3, opt3, hbatch, time_w)
+        np.testing.assert_allclose(np.asarray(lvec3), np.asarray(lvec2),
+                                   rtol=1e-5)
+        assert pre3.shape == pre2.shape
+        np.testing.assert_allclose(float(st3["max_neighbors"]),
+                                   float(st2["max_neighbors"]))
+        for a, c in zip(jax.tree.leaves(p2), jax.tree.leaves(p3)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=2e-5)
 
