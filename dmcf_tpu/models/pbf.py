@@ -933,6 +933,7 @@ class PBFNet(nn.Module):
             "dilated_pos": dpos,
             "dilated_mask": dmask,
             "dilated_count": dcount,
+            "dilated_caps": out_maxes,
             "dilated_idx": didx,
             "dens_pyramid": dens_pyramid,
             "nl_all0": nl_all0,
@@ -1022,6 +1023,11 @@ class PBFNet(nn.Module):
                 ctx["all_mask"], ctx["nl_all0"].count, 0)) / n_valid,
             "scale_counts": jnp.stack([jnp.asarray(c, jnp.int32)
                                        for c in ctx["dilated_count"]]),
+            # static padded capacities per scale: a scale whose TRUE voxel
+            # count (scale_counts) exceeds its capacity silently dropped
+            # voxels — callers gate on counts <= caps (run_sample reports
+            # it over whole rollouts, same protocol as pair_overflow)
+            "scale_caps": jnp.asarray(ctx["dilated_caps"], jnp.int32),
         }
         if ctx["nl_all0"].cell_overflow is not None:
             aux["cell_overflow"] = jnp.max(ctx["nl_all0"].cell_overflow)

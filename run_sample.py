@@ -231,13 +231,14 @@ def main():
         """Scan ``len(ts)`` steps from ``carry``; ts carries the global
         step indices so inflow timing survives chunked execution."""
         def body(carry, t):
-            pos, vel, mask, n_active, mx, po, cc = carry
+            pos, vel, mask, n_active, mx, po, cc, sc = carry
             s = dict(s0)
             s["pos"], s["vel"], s["fluid_mask"] = pos, vel, mask
             p, v, aux = model.apply(params, s, training=False)
             mx = jnp.maximum(mx, aux["neighbor_overflow"])
             po = jnp.maximum(po, aux.get("pair_overflow", po))
             cc = jnp.maximum(cc, aux.get("boundary_crop_count", cc))
+            sc = jnp.maximum(sc, aux.get("scale_counts", sc))
 
             def do_inflow(args_):
                 p, v, mask, n_active = args_
@@ -254,7 +255,7 @@ def main():
             p, v, mask, n_active = jax.lax.cond(
                 inflow_now, do_inflow, lambda a: a, (p, v, mask, n_active))
             pod = aux.get("pair_overflow_detail", {})
-            return (p, v, mask, n_active, mx, po, cc), (p, mask, pod)
+            return (p, v, mask, n_active, mx, po, cc, sc), (p, mask, pod)
 
         carry, (ps, ms, pod) = jax.lax.scan(body, carry, ts)
         # reduce the per-pair excess over the chunk here so only a dict of
@@ -267,10 +268,12 @@ def main():
           f"{int(bmask.sum())} boundary; {timesteps} steps")
     n_steps = max(timesteps - 1, 1)
     exe_steps = min(args.chunk, n_steps) if args.chunk else n_steps
+    n_scales = len(getattr(model, "strides", None) or [1])
     carry = (sample["pos"], sample["vel"], sample["fluid_mask"],
              jnp.asarray(n0, jnp.int32), jnp.asarray(0, jnp.int32),
              jnp.asarray(-(2 ** 30), jnp.int32),
-             jnp.asarray(0, jnp.int32))
+             jnp.asarray(0, jnp.int32),
+             jnp.zeros((n_scales,), jnp.int32))
     t0 = time.time()
     ps_parts, ms_parts = [], []
     pod_max = {}
@@ -308,6 +311,29 @@ def main():
               f"(crop capacity {crop_max})"
               + (" — CROP OVERFLOW, boundary support dropped; raise "
                  "--boundary_crop_max" if crop_cnt > crop_max else ""))
+    sc_max = np.asarray(carry[7]).tolist()
+    if any(sc_max):
+        # mirror the model's capacity formula (models/pbf.py out_maxes);
+        # the in-graph contact crop compacts the boundary to its
+        # boundary_crop_max slots BEFORE the pyramid is built
+        b_rows = int(sample["box"].shape[0])
+        bcm = int(getattr(model, "boundary_crop_max", 0) or 0)
+        if 0 < bcm < b_rows:
+            b_rows = bcm
+        all_max = int(sample["pos"].shape[0]) + \
+            (b_rows if getattr(model, "use_bnds", True) else 0)
+        ssf = getattr(model, "scale_size_factor", 1.0)
+        strides = list(getattr(model, "strides", [1]))
+        factors = (list(ssf) if isinstance(ssf, (list, tuple))
+                   else [float(ssf)] * len(strides))
+        caps = [all_max if s == 1 else
+                max(8, int(np.ceil(all_max * factors[si])))
+                for si, s in enumerate(strides)]
+        over = [c for c, cap in zip(sc_max, caps) if c > cap]
+        print(f"max scale occupancy over rollout: {sc_max} "
+              f"(capacities {caps})"
+              + (" — SCALE OVERFLOW, voxels dropped; raise "
+                 "scale_size_factor" if over else ""))
 
     # assemble output: frame 0 + rollout frames, padded with sentinel 1000
     # (reference run_sample.py:215-218)
