@@ -214,6 +214,10 @@ def main():
         "wall_per_step_ms": round(1000 * per_step, 1),
         "data_latency_ms": [round(1000 * v, 2) for v in lat],
         "final_loss": losses[-1] if losses else None,
+        "loss_first3": [round(v, 4) for v in losses[:3]],
+        "loss_last3": [round(v, 4) for v in losses[-3:]],
+        "loss_decreasing": bool(losses and np.mean(losses[-3:]) <
+                                np.mean(losses[:3])),
         "loss_finite": bool(np.all(np.isfinite(losses))) if losses
         else None,
     }))
